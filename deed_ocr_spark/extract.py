@@ -1,0 +1,191 @@
+"""Spark extraction stage: vectorized pandas/Arrow kernels via mapInPandas.
+
+Design (SURVEY.md §3.4 / §4.2):
+
+* One ``mapInPandas`` does all per-document work — span extraction AND the
+  per-document merge — so extracted span data never shuffles (the per-doc
+  merge that would be a UDAF is fused into the same Arrow batch; SURVEY
+  §2.4: every merge is intra-document).
+* Inside a batch, work is vectorized across *all spans of all documents at
+  once*: spans are exploded into flat numpy/pandas arrays, kind-dispatched
+  with boolean masks, and the watermark/whitespace cleanup runs as one
+  pandas ``.str`` pass over every text span in the batch. Only the
+  recursive parsers (DOM split, XY-cut) run per-element — unavoidable and
+  allowed (SURVEY §7.3-4); there is no per-row Python UDF anywhere.
+* ``order`` is assigned from the ``offset`` sort inside the kernel and
+  emitted as data, so output equality holds under any partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from deed_ocr_spark.kernels.html import strip_html_boilerplate
+from deed_ocr_spark.kernels.legal import (
+    PATTERNS,
+    extract_with_regex,
+    find_descriptions_in_pages,
+    merge_final_lists,
+)
+from deed_ocr_spark.kernels.ocr import ocr_region_text
+from deed_ocr_spark.kernels.pdfblocks import segment_pdf_blocks
+from deed_ocr_spark.kernels.textops import (
+    clean_watermarks_series,
+    ordered_dedup,
+    page_concat,
+)
+
+# Output span schema — the north_rule tuple plus provenance (src_kind feeds
+# the state-table metrics; the equality check uses only the first four).
+SPANS_OUT_DDL = (
+    "doc_id string, order int, kind string, text string, "
+    "media_ref string, src_kind string"
+)
+
+DOC_SUMMARY_DDL = (
+    "doc_id string, n_pages int, n_spans int, n_media int, combined_chars bigint, "
+    "legal_description_block array<string>, trs array<string>"
+)
+
+_KIND_FN = {
+    "html": strip_html_boilerplate,
+    "pdf_page": segment_pdf_blocks,
+    "ocr_region": ocr_region_text,
+}
+
+
+def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Explode (doc_id, spans) rows to one flat frame of spans with dense
+    per-doc ``order`` from the offset sort. Vectorized construction."""
+    doc_ids: List[str] = []
+    kinds: List[str] = []
+    texts: List[str] = []
+    media_refs: List[str] = []
+    orders: List[int] = []
+    for doc_id, spans in zip(pdf["doc_id"].to_numpy(), pdf["spans"].to_numpy()):
+        if spans is None:
+            continue
+        ordered = sorted(spans, key=lambda s: s["offset"])
+        for order, s in enumerate(ordered):
+            doc_ids.append(doc_id)
+            kinds.append(s["kind"])
+            texts.append(s["text"] or "")
+            media_refs.append(s["media_ref"] or "")
+            orders.append(order)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_ids, dtype="object"),
+            "src_kind": pd.Series(kinds, dtype="object"),
+            "in_text": pd.Series(texts, dtype="object"),
+            "in_media_ref": pd.Series(media_refs, dtype="object"),
+            "order": pd.Series(orders, dtype="int32"),
+        }
+    )
+
+
+def _extract_flat(flat: pd.DataFrame) -> pd.DataFrame:
+    """Kind-dispatched extraction over the exploded batch (masked, batched)."""
+    n = len(flat)
+    out_text = pd.Series([""] * n, dtype="object")
+    src = flat["src_kind"]
+    for kind, fn in _KIND_FN.items():
+        mask = (src == kind).to_numpy()
+        if mask.any():
+            out_text[mask] = flat.loc[mask, "in_text"].map(fn)
+    passthrough = (src == "text").to_numpy()
+    if passthrough.any():
+        out_text[passthrough] = flat.loc[passthrough, "in_text"]
+    is_media = (src == "media").to_numpy()
+    # One vectorized cleanup pass over every text span in the batch.
+    text_mask = ~is_media
+    if text_mask.any():
+        out_text[text_mask] = clean_watermarks_series(out_text[text_mask])
+
+    return pd.DataFrame(
+        {
+            "doc_id": flat["doc_id"],
+            "order": flat["order"].astype("int32"),
+            "kind": np.where(is_media, "media_ref", "text"),
+            "text": np.where(is_media, "", out_text),
+            "media_ref": np.where(is_media, flat["in_media_ref"], ""),
+            "src_kind": flat["src_kind"],
+        }
+    )
+
+
+def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, spans) batches → output span rows."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        flat = _explode_batch(pdf)
+        if not len(flat):
+            continue
+        yield _extract_flat(flat)
+
+
+def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
+    """Per-document stage-2 merge (reference semantics, golden.doc_summary)
+    computed from already-extracted spans — runs inside the same Arrow batch
+    as extraction, so no shuffle of span data is ever needed."""
+    recs = []
+    for doc_id, g in out.groupby("doc_id", sort=False):
+        g = g.sort_values("order")
+        pages = g.loc[g["kind"] == "text", "text"].tolist()
+        combined = page_concat(pages)
+        page_descs = find_descriptions_in_pages(pages)
+        pages_ld: List[str] = []
+        for d in page_descs:
+            if d.text and d.text not in pages_ld:
+                pages_ld.append(d.text)
+        fulldoc_ld = [m[0] for m in extract_with_regex(combined)]
+        legal = ordered_dedup(merge_final_lists(fulldoc_ld, pages_ld))
+        trs_pat = PATTERNS["section_township_range"]
+        pages_trs: List[str] = []
+        for text in pages:
+            for m in trs_pat.finditer(text):
+                v = m.group(0)
+                if v and v not in pages_trs:
+                    pages_trs.append(v)
+        fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
+        trs = ordered_dedup(merge_final_lists(pages_trs, fulldoc_trs))
+        recs.append(
+            (
+                doc_id,
+                len(pages),
+                int(len(g)),
+                int((g["kind"] == "media_ref").sum()),
+                len(combined),
+                legal,
+                trs,
+            )
+        )
+    return pd.DataFrame(
+        recs,
+        columns=[
+            "doc_id",
+            "n_pages",
+            "n_spans",
+            "n_media",
+            "combined_chars",
+            "legal_description_block",
+            "trs",
+        ],
+    ).astype({"n_pages": "int32", "n_spans": "int32", "n_media": "int32"})
+
+
+def extract_doc_summaries_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, spans) batches → per-doc summary rows
+    (extraction + full reference merge fused; zero shuffles)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        flat = _explode_batch(pdf)
+        if not len(flat):
+            continue
+        yield _doc_summaries(_extract_flat(flat))

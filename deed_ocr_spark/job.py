@@ -1,0 +1,81 @@
+"""Extraction job pipeline: scan → salt/repartition → mapInPandas → sink.
+
+The physical plan this produces (SURVEY.md §3.4):
+
+    Scan (Iceberg in prod, parquet here; column-pruned to doc_id, spans)
+      → Exchange hashpartitioning(doc_id, salt)   -- the ONLY shuffle
+      → ArrowEvalPython / MapInPandas (extract kernel, fused per-doc merge)
+      → sink (partitioned write; per-partition idempotent overwrite)
+
+Skew policy: document cost is heavy-tailed (hot multi-span docs — corpus
+mirrors this). AQE cannot split a single row, so we (a) spread documents
+uniformly with an explicit repartition on ``(doc_id, salt)`` where
+``salt = pmod(xxhash64(doc_id), SALT_N)`` — deterministic, so a resumed run
+lands documents in the same bucket — and (b) cap Arrow batch rows so one
+batch of hot docs cannot blow Python-worker memory. With thousands of docs
+per task the heavy tail averages out; the bench (bench.py) measures this
+on the skewed corpus rather than assuming it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from deed_ocr_spark.extract import (
+    DOC_SUMMARY_DDL,
+    SPANS_OUT_DDL,
+    extract_doc_summaries_batch,
+    extract_spans_batch,
+)
+
+SALT_N = 64
+
+
+def with_partition_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Deterministic bucket for checkpoint/resume (state.py): a pure
+    function of doc_id, so re-runs assign identical buckets."""
+    return df.withColumn(
+        "part_bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def repartition_for_extract(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Explicit skew-breaking exchange on (doc_id, salt)."""
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SALT_N)).cast("int")
+    )
+    return salted.repartition(n_partitions, "doc_id", "salt").drop("salt")
+
+
+def extract_spans(df: DataFrame, n_partitions: int = 0) -> DataFrame:
+    """Input (doc_id, spans) → output span rows (doc_id, order, kind, text,
+    media_ref, src_kind). Column-prunes the scan explicitly."""
+    src = df.select("doc_id", "spans")
+    if n_partitions > 0:
+        src = repartition_for_extract(src, n_partitions)
+    return src.mapInPandas(extract_spans_batch, SPANS_OUT_DDL)
+
+
+def extract_summaries(df: DataFrame, n_partitions: int = 0) -> DataFrame:
+    """Input (doc_id, spans) → one summary row per document (extraction +
+    reference merge fused in a single Arrow pass; no span shuffle)."""
+    src = df.select("doc_id", "spans")
+    if n_partitions > 0:
+        src = repartition_for_extract(src, n_partitions)
+    return src.mapInPandas(extract_doc_summaries_batch, DOC_SUMMARY_DDL)
+
+
+def partition_metrics(spans_out: DataFrame) -> DataFrame:
+    """Per-bucket extraction metrics for the state table — the analog of
+    the reference's token/page counters (workflow.py:189-193,
+    retry_helper.py:25-34): pages parsed, spans emitted, OCR regions."""
+    return spans_out.groupBy("part_bucket").agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("spans_emitted"),
+        F.sum(F.when(F.col("src_kind") == "pdf_page", 1).otherwise(0)).alias(
+            "pages_parsed"
+        ),
+        F.sum(F.when(F.col("src_kind") == "ocr_region", 1).otherwise(0)).alias(
+            "ocr_regions"
+        ),
+    )

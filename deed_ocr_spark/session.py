@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "deed-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+) -> SparkSession:
+    """Build a session tuned for the extraction workload.
+
+    * Arrow enabled end-to-end (the input_hint mandate); small
+      ``maxRecordsPerBatch`` because one record is a whole document whose
+      spans can be large — bounds Python-worker memory (SURVEY §4.2).
+    * AQE on (coalesces the small relational stages); shuffle partitions
+      sized to cores for local mode rather than the 200 default.
+    * Session timezone pinned UTC so timestamp comparisons match DuckDB.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 4)
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for the extraction job.
+
+Launch (the north_rule's deployment path):
+
+    zip -r /tmp/deed_ocr_spark.zip deed_ocr_spark
+    spark-submit --master local[32] --py-files /tmp/deed_ocr_spark.zip \\
+        scripts/run_job.py --input <parquet dir of (doc_id, spans)> \\
+        --out /data/spans_out --state /data/state --run-id run1
+
+With ``--gen-docs N`` the job generates the deterministic synthetic corpus
+distributed on the executors instead of reading ``--input`` (no driver-side
+materialization — scales to arbitrary corpus sizes).
+
+Resume: re-running with the same --out/--state skips buckets already
+recorded 'done' in the state ledger (anti-join; exactly-once via dynamic
+partition overwrite). CLI knobs mirror the reference CLI's surviving
+options (/root/reference/deed_ocr/cli.py:40-118): continue-on-error is the
+per-row status discipline (always on), --seed replaces --dpi as the
+deterministic-kernel parameter.
+"""
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="deed-ocr-spark extraction job")
+    p.add_argument("--input", help="parquet dir with (doc_id, spans)")
+    p.add_argument("--gen-docs", type=int, default=0, help="generate N synthetic docs instead of --input")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True, help="output spans table dir")
+    p.add_argument("--state", required=True, help="state/checkpoint table dir")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--partitions", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if not args.input and not args.gen_docs:
+        p.error("one of --input or --gen-docs is required")
+
+    from pyspark.sql import SparkSession
+
+    from deed_ocr_spark.corpus import corpus_df
+    from deed_ocr_spark.state import run_extraction_job
+
+    spark = SparkSession.builder.appName(f"deed-ocr-extract-{args.run_id}").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
+    if args.gen_docs:
+        df = corpus_df(spark, args.gen_docs, seed=args.seed, n_partitions=args.partitions)
+    else:
+        df = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    stats = run_extraction_job(
+        spark,
+        df,
+        out_dir=args.out,
+        state_dir=args.state,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+        n_partitions=args.partitions,
+        lineage=f"input={args.input or f'gen:{args.gen_docs}@seed{args.seed}'}",
+    )
+    dt = time.time() - t0
+    docs = stats["docs"] or 0
+    print(
+        f"EXTRACT_DONE run_id={args.run_id} buckets={stats['buckets_done']} "
+        f"docs={docs} spans={stats['spans']} wall_sec={dt:.2f} "
+        f"docs_per_sec={docs / dt:.1f}"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Spark-vs-golden parity and golden regression fixtures.
+
+SURVEY.md §5.2-2/3: the Spark pipeline must emit byte-identical
+``(kind, text, media_ref, order)`` sequences per doc_id under any
+partitioning — order is data, not row position.
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from deed_ocr_spark.corpus import corpus_df, doc_id_for, gen_doc
+from deed_ocr_spark.golden import doc_summary, extract_doc
+from deed_ocr_spark.job import extract_spans, extract_summaries
+
+N_DOCS = 120
+SEED = 42
+
+GOLDEN_PATH = pathlib.Path(__file__).parent / "golden" / "spans_expected.jsonl"
+
+
+def _golden_map():
+    return {
+        doc_id_for(i): extract_doc(gen_doc(doc_id_for(i), SEED)["spans"])
+        for i in range(N_DOCS)
+    }
+
+
+def test_golden_regression_fixtures():
+    """Committed golden sequences guard the kernels against silent drift."""
+    assert GOLDEN_PATH.exists(), "run tools/gen_goldens.py to create fixtures"
+    committed = {}
+    with open(GOLDEN_PATH) as f:
+        for line in f:
+            rec = json.loads(line)
+            committed[rec["doc_id"]] = [tuple(s) for s in rec["spans"]]
+    live = _golden_map()
+    assert set(committed) == set(live)
+    for doc_id, exp in committed.items():
+        assert live[doc_id] == exp, f"kernel drift on {doc_id}"
+
+
+@pytest.mark.parametrize("n_partitions", [1, 7])
+def test_spark_matches_golden_any_partitioning(spark, n_partitions):
+    df = corpus_df(spark, N_DOCS, seed=SEED, n_partitions=4)
+    out = extract_spans(df, n_partitions=n_partitions)
+    rows = out.orderBy("doc_id", "order").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["order"], r["kind"], r["text"], r["media_ref"], r["src_kind"])
+        )
+    exp = _golden_map()
+    assert set(got) == set(exp)
+    for doc_id in exp:
+        assert got[doc_id] == exp[doc_id], doc_id
+
+
+def test_spark_summaries_match_golden(spark):
+    df = corpus_df(spark, 60, seed=SEED, n_partitions=3)
+    rows = extract_summaries(df, n_partitions=5).collect()
+    assert len(rows) == 60
+    for r in rows:
+        exp = doc_summary(gen_doc(r["doc_id"], SEED)["spans"])
+        assert r["n_pages"] == exp["n_pages"]
+        assert r["n_spans"] == exp["n_spans"]
+        assert r["n_media"] == exp["n_media"]
+        assert r["combined_chars"] == exp["combined_chars"]
+        assert list(r["legal_description_block"]) == exp["legal_description_block"]
+        assert list(r["trs"]) == exp["trs"]
+
+
+def test_output_schema_types(spark):
+    df = corpus_df(spark, 5, seed=SEED, n_partitions=1)
+    out = extract_spans(df)
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields == {
+        "doc_id": "string",
+        "order": "int",
+        "kind": "string",
+        "text": "string",
+        "media_ref": "string",
+        "src_kind": "string",
+    }
+    # media spans carry refs, text spans carry "" (not null) — dtype trap
+    sample = out.collect()
+    for r in sample:
+        if r["kind"] == "media_ref":
+            assert r["media_ref"].startswith("img://") and r["text"] == ""
+        else:
+            assert r["media_ref"] == "" and r["text"] is not None
