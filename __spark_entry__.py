@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interleaved-span extraction on the
+sf0.001 tier; ``queries()``/``oracle_sql()`` expose the operator coverage
+from SURVEY.md §2 plus the training-data pipeline ops (dedup family,
+similarity search, text analysis, multimodal plumbing). Oracle-less
+entries (x1/x2/m1) are the non-SQL-expressible kernel pipelines — their
+semantics are covered by the golden-executor suite in tests/.
 """
 
 from __future__ import annotations
@@ -15,24 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over the deterministic interleaved corpus
+    at the sf0.001 tier (driver checks rows>0, stable schema)."""
+    from deed_ocr_spark.queries.extraction import x1_extract_spans
+
+    return x1_extract_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from deed_ocr_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deed_ocr_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,20 @@
+"""Driver-gate query registry: name → (spark, sf_dir) → DataFrame, plus
+DuckDB oracle SQL for everything SQL-expressible."""
+
+from deed_ocr_spark.queries import extraction, relational, similarity, textpipe
+
+QUERIES = {
+    **relational.QUERIES,
+    **textpipe.QUERIES,
+    **similarity.QUERIES,
+    **extraction.QUERIES,
+}
+
+ORACLES = {
+    **relational.ORACLES,
+    **textpipe.ORACLES,
+    **similarity.ORACLES,
+    **extraction.ORACLES,
+}
+
+assert set(ORACLES) <= set(QUERIES)

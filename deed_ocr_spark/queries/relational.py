@@ -1,0 +1,328 @@
+"""Relational operator coverage (SURVEY.md §2) over the driver testdata.
+
+Each query maps to a SURVEY §2 operator id (in the function name) and has a
+DuckDB oracle in ORACLES. Plans are declarative DataFrame ops — Catalyst
+does pushdown/pruning/broadcast; `.explain` audits live in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from deed_ocr_spark.queries.common import t
+
+
+# --- P1/P6: filter + project (predicate pushdown reaches the scan) -------
+def p1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("lang").isin("en", "de")) & (F.col("n_chars") > 200))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --- P2/F-regex: regex extraction over text ------------------------------
+def p2_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).cast("bigint").alias("n_the"),
+        F.regexp_count(F.col("text"), F.lit(r"\bjoin\b")).cast("bigint").alias("n_join"),
+    )
+
+
+# --- P7/F2/F3/F4: watermark cleanup as relational expressions ------------
+# (the reference semantics of workflow.py:711-726 expressed as a
+# regexp_replace chain; the kernel path keeps it in-UDF for byte parity,
+# this proves the relational form agrees with ANSI SQL)
+def p7_watermark_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), F.lit("UNOFFICIAL COPY"), F.lit("")),
+                    F.lit("UNO"),
+                    F.lit(""),
+                ),
+                F.lit(r"\n\s*\n\s*\n"),
+                F.lit("\n\n"),
+            ),
+            F.lit(" +"),
+            F.lit(" "),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+    )
+
+
+# --- P8: confidence scoring as column arithmetic (llm.py:143-165 shape) ---
+def p8_confidence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    conf = (
+        F.lit(0.5)
+        + F.when(F.col("text").contains("legal description"), 0.2).otherwise(0.0)
+        + F.when(F.col("n_chars") > 100, 0.1).otherwise(0.0)
+        + F.when(F.col("n_chars") > 200, 0.1).otherwise(0.0)
+    )
+    return d.select("doc_id", F.least(conf, F.lit(0.9)).alias("confidence"))
+
+
+# --- P9: error categorization (workflow.py:65-110 taxonomy shape) ---------
+def p9_error_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    kind = (
+        F.when(F.col("event_type") != "error", "none")
+        .when(F.col("value") < 50, "timeout")
+        .when(F.col("value") < 100, "rate_limit")
+        .when(F.col("value") < 150, "network")
+        .when(F.col("value") < 200, "server_error")
+        .otherwise("unknown")
+    )
+    return (
+        e.select(kind.alias("error_kind"))
+        .groupBy("error_kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- A1: ordered concat per group (page-text concat shape) ---------------
+def a1_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            "|",
+        ).alias("type_seq")
+    )
+
+
+# --- A4/A10: grouped sums with decimal-exact arithmetic (TPC-H Q1 shape) --
+def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum((price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A6 / set-op: distinct ------------------------------------------------
+def a6_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+# --- A9: max_by -----------------------------------------------------------
+def a9_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max(F.col("value").cast("decimal(18,2)")).cast("double").alias("max_value"),
+    )
+
+
+# --- J2: equi join + agg (broadcast the small dim) ------------------------
+def j2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --- J4: resume anti-join (the checkpoint idiom) --------------------------
+def j4_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    done = t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey")).distinct()
+    return c.join(F.broadcast(done), "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+# --- J1: equi + range predicate join --------------------------------------
+def j1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, (l["l_orderkey"] == o["o_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
+
+
+# --- W2/W4: top-k per group via window ------------------------------------
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        l.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+# --- W-window + lag: sessionization ----------------------------------------
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet timestamps arrive as TIMESTAMP_NTZ; with the session pinned to
+    # UTC the cast reads them as UTC instants, matching DuckDB's naive epoch
+    e = t(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gap = F.col("ms") - F.lag("ms", 1).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLES = {
+    "p1_filter_project": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang IN ('en','de') AND n_chars > 200
+    """,
+    "p2_regex_extract": r"""
+        SELECT doc_id,
+               regexp_extract(text, '^(\w+)', 1) AS first_word,
+               CAST(length(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+               CAST(length(regexp_extract_all(text, '\bjoin\b')) AS BIGINT) AS n_join
+        FROM documents
+    """,
+    "p7_watermark_clean": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(
+                        replace(replace(text, 'UNOFFICIAL COPY', ''), 'UNO', ''),
+                        '\n\s*\n\s*\n', E'\n\n', 'g'),
+                      ' +', ' ', 'g')) AS cleaned
+          FROM documents)
+        SELECT doc_id, md5(cleaned) AS clean_md5,
+               CAST(length(cleaned) AS BIGINT) AS clean_len
+        FROM c
+    """,
+    "p8_confidence_score": """
+        -- all operands cast to DOUBLE so IEEE addition order matches Spark
+        SELECT doc_id,
+               least(CAST(0.5 AS DOUBLE)
+                     + CASE WHEN text LIKE '%legal description%'
+                            THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     + CASE WHEN n_chars > 100
+                            THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                     + CASE WHEN n_chars > 200
+                            THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+                     CAST(0.9 AS DOUBLE)) AS confidence
+        FROM documents
+    """,
+    "p9_error_classify": """
+        SELECT CASE WHEN event_type <> 'error' THEN 'none'
+                    WHEN value < 50 THEN 'timeout'
+                    WHEN value < 100 THEN 'rate_limit'
+                    WHEN value < 150 THEN 'network'
+                    WHEN value < 200 THEN 'server_error'
+                    ELSE 'unknown' END AS error_kind,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "a1_ordered_concat": """
+        SELECT user_id, string_agg(event_type, '|' ORDER BY event_id) AS type_seq
+        FROM events GROUP BY user_id
+    """,
+    "a4_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "a6_distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+    "a9_max_by": """
+        SELECT user_id, max_by(event_type, event_id) AS last_type,
+               CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    "j2_join_agg": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "j4_resume_antijoin": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+    "j1_range_join": """
+        SELECT o_orderpriority, count(*) AS n_late_lines
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        GROUP BY o_orderpriority
+    """,
+    "w2_topk_per_group": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rk
+          FROM lineitem) WHERE rk <= 3
+    """,
+    "w3_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                 epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+}
+
+QUERIES = {
+    "p1_filter_project": p1_filter_project,
+    "p2_regex_extract": p2_regex_extract,
+    "p7_watermark_clean": p7_watermark_clean,
+    "p8_confidence_score": p8_confidence_score,
+    "p9_error_classify": p9_error_classify,
+    "a1_ordered_concat": a1_ordered_concat,
+    "a4_pricing_summary": a4_pricing_summary,
+    "a6_distinct_pairs": a6_distinct_pairs,
+    "a9_max_by": a9_max_by,
+    "j2_join_agg": j2_join_agg,
+    "j4_resume_antijoin": j4_resume_antijoin,
+    "j1_range_join": j1_range_join,
+    "w2_topk_per_group": w2_topk_per_group,
+    "w3_sessionize": w3_sessionize,
+}

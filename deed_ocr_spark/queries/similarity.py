@@ -1,0 +1,143 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Scale design: brute-force cosine is the correctness baseline (JVM-side
+``F.aggregate``/``zip_with`` — no Python in the hot path); the scale path
+buckets vectors with sign-LSH (random-hyperplane) so candidate generation
+is an equi-join on bucket ids, never a cross join. Hyperplanes are rows of
+the table itself (vec_id 1..4) so the oracle can reproduce them — at
+production scale they'd be broadcast constants.
+
+All dot products cast elements to DOUBLE before multiply/accumulate in
+array order, so Spark and DuckDB produce bit-identical IEEE results;
+outputs round to 4 decimals anyway for belt-and-braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deed_ocr_spark.queries.common import t
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+# --- E1: brute-force cosine top-k against a query vector --------------------
+def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# --- E2: sign-LSH bucketing (the ANN scale path) -----------------------------
+def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    planes = (
+        e.filter(F.col("vec_id").isin(1, 2, 3, 4))
+        .select("vec_id", F.col("embedding").alias("plane"))
+        .withColumnRenamed("vec_id", "plane_id")
+    )
+    sign = (
+        e.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "plane_id",
+            F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1)
+            .otherwise(0)
+            .alias("bit"),
+        )
+    )
+    bucket = None
+    agg = sign.groupBy("vec_id").pivot("plane_id", [1, 2, 3, 4]).sum("bit")
+    for i, p in enumerate([1, 2, 3, 4]):
+        b = F.coalesce(F.col(f"{p}"), F.lit(0)) * (1 << i)
+        bucket = b if bucket is None else bucket + b
+    return agg.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+# --- E3: per-label embedding stats (norms exact-per-element) -----------------
+def e3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.round(_norm(F.col("embedding")), 4).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_norm"),
+        )
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+ORACLES = {
+    "e1_cosine_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round({_DOT_SQL.format(a='embedding', b='qv')}
+                     / ({_NORM_SQL.format(a='embedding')} * {_NORM_SQL.format(a='qv')}),
+                     4) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "e2_lsh_buckets": f"""
+        WITH planes AS (
+          SELECT vec_id AS plane_id, embedding AS plane
+          FROM embeddings WHERE vec_id IN (1,2,3,4)),
+        sign AS (
+          SELECT e.vec_id, p.plane_id,
+                 CASE WHEN {_DOT_SQL.format(a='e.embedding', b='p.plane')} > 0
+                      THEN 1 ELSE 0 END AS bit
+          FROM embeddings e, planes p)
+        SELECT vec_id,
+               CAST(SUM(bit * (CASE plane_id WHEN 1 THEN 1 WHEN 2 THEN 2
+                               WHEN 3 THEN 4 ELSE 8 END)) AS INT) AS bucket
+        FROM sign GROUP BY vec_id
+    """,
+    "e3_embedding_stats": f"""
+        WITH n AS (
+          SELECT label, round({_NORM_SQL.format(a='embedding')}, 4) AS nrm
+          FROM embeddings)
+        SELECT label, count(*) AS n,
+               round(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_norm
+        FROM n GROUP BY label
+    """,
+}
+
+QUERIES = {
+    "e1_cosine_topk": e1_cosine_topk,
+    "e2_lsh_buckets": e2_lsh_buckets,
+    "e3_embedding_stats": e3_embedding_stats,
+}

@@ -1,0 +1,310 @@
+"""Training-data text-pipeline operators over the `documents` table.
+
+First-class large-scale pipeline ops (task brief): exact dedup, MinHash
+signatures + LSH band candidates, SimHash, n-gram Jaccard near-dup pairs,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+Every hash used for oracle-checked queries is md5 (identical hex output in
+Spark and DuckDB); engine-native hashes (xxhash64 vs duckdb hash) would
+diverge. At scale the Spark plans are shuffle-minimal: per-doc signatures
+are map-side only; candidate-pair generation joins on band buckets
+(bounded fanout) instead of any cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from deed_ocr_spark.queries.common import t
+
+TOKEN_RE = r"\s+"
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _tokens(col):
+    return F.split(F.trim(col), TOKEN_RE)
+
+
+# --- D1: exact dedup (hash groupBy; at 100 TB this is the one full shuffle,
+# on a 32-hex key — minimal width) ----------------------------------------
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- D2: token counting ----------------------------------------------------
+def d2_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.col("n_chars"),
+    )
+
+
+# --- D3: language-ID heuristic (stopword-hit ratio) ------------------------
+def d3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    hits = None
+    for w in STOPWORDS:
+        h = F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b{w}\b")).cast("double")
+        hits = h if hits is None else hits + h
+    n_tokens = F.size(_tokens(F.col("text"))).cast("double")
+    score = hits / F.greatest(n_tokens, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        score.alias("en_score"),
+        (score > 0.03).cast("int").alias("guess_en"),
+    )
+
+
+# --- D4: quality scoring (length/punct/upper ratios) ------------------------
+def d4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[.!?,;:]")).cast("double")
+    upper = F.regexp_count(F.col("text"), F.lit(r"[A-Z]")).cast("double")
+    n_tokens = F.size(_tokens(F.col("text"))).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        (punct / safe_n).alias("punct_ratio"),
+        (upper / safe_n).alias("upper_ratio"),
+        (n / F.greatest(n_tokens, F.lit(1.0))).alias("mean_token_len"),
+    )
+
+
+# --- D5: document fingerprint (normalized md5) ------------------------------
+def d5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), F.lit(r"\s+"), F.lit(" ")))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# --- D6: SimHash (16-bit, md5-nibble based — engine-portable) ---------------
+# Classic SimHash: each token votes ±1 on each bit of its hash; the
+# signature bit is the vote sign. Bit k of a token = high bit of hex nibble
+# k of md5(token), so Spark and DuckDB agree exactly.
+def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.md5("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", k + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for k in range(16):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# --- D8: MinHash signatures (4 md5-seeded hash mins over distinct tokens) ---
+def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return tok.groupBy("doc_id").agg(*mins)
+
+
+# --- D9: MinHash LSH band candidates (2 bands × 2 rows) ----------------------
+# Docs sharing a band collide; pairs from band-bucket self-joins, never a
+# cross join. At scale: groupBy(band) with a per-bucket cap would bound
+# fanout; here buckets are tiny.
+def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = d8_minhash_sig(spark, sf_dir)
+    b1 = sig.select("doc_id", F.md5(F.concat_ws("|", "mh0", "mh1")).alias("band"))
+    b2 = sig.select("doc_id", F.md5(F.concat_ws("|", "mh2", "mh3")).alias("band"))
+    bands = b1.unionByName(b2)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(right, "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- D7: n-gram (token) Jaccard near-dup pairs over LSH candidates -----------
+# Relational Jaccard: |A∩B| via token equi-join, |A∪B| = |A|+|B|-|A∩B|.
+# Candidates from d9 (LSH) so no cross join exists anywhere in the plan.
+def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = d9_minhash_band_pairs(spark, sf_dir)
+    shared = (
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            toks.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+_STOPWORD_HITS_SQL = " + ".join(
+    rf"CAST(length(regexp_extract_all(lower(text), '\b{w}\b')) AS DOUBLE)"
+    for w in STOPWORDS
+)
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    "CAST(SUM(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS BIGINT) AS v{k}".format(p=k + 1, k=k)
+    for k in range(16)
+)
+_SIMHASH_SUM_SQL = " + ".join(
+    f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
+)
+
+_MINHASH_SIG_SQL = """
+    SELECT doc_id,
+           min(md5('seed0:' || tok)) AS mh0,
+           min(md5('seed1:' || tok)) AS mh1,
+           min(md5('seed2:' || tok)) AS mh2,
+           min(md5('seed3:' || tok)) AS mh3
+    FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY doc_id
+"""
+
+_BAND_PAIRS_SQL = f"""
+    WITH sig AS ({_MINHASH_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, md5(mh0 || '|' || mh1) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5(mh2 || '|' || mh3) AS band FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+ORACLES = {
+    "d1_dedup_exact": """
+        SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "d2_token_count": r"""
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    """,
+    "d3_lang_id": rf"""
+        WITH s AS (
+          SELECT doc_id,
+                 ({_STOPWORD_HITS_SQL}) AS hits,
+                 CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens
+          FROM documents)
+        SELECT doc_id,
+               hits / greatest(n_tokens, CAST(1.0 AS DOUBLE)) AS en_score,
+               CAST(hits / greatest(n_tokens, CAST(1.0 AS DOUBLE)) > 0.03 AS INT) AS guess_en
+        FROM s
+    """,
+    "d4_quality_score": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+                 CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper,
+                 CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens
+          FROM documents)
+        SELECT doc_id,
+               punct / greatest(n, CAST(1.0 AS DOUBLE)) AS punct_ratio,
+               upper / greatest(n, CAST(1.0 AS DOUBLE)) AS upper_ratio,
+               n / greatest(n_tokens, CAST(1.0 AS DOUBLE)) AS mean_token_len
+        FROM s
+    """,
+    "d5_fingerprint": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "d6_simhash": rf"""
+        WITH tok AS (
+          SELECT doc_id, md5(tok) AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        votes AS (
+          SELECT doc_id, {_SIMHASH_VOTES_SQL}
+          FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_SUM_SQL} AS BIGINT) AS simhash FROM votes
+    """,
+    "d8_minhash_sig": _MINHASH_SIG_SQL,
+    "d9_minhash_band_pairs": _BAND_PAIRS_SQL,
+    "d7_ngram_jaccard_pairs": rf"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents),
+        toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY doc_id),
+        cand AS ({_BAND_PAIRS_SQL}),
+        shared AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cand c
+          JOIN toks2 ta ON ta.doc_id = c.doc_a
+          JOIN toks2 tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+}
+
+QUERIES = {
+    "d1_dedup_exact": d1_dedup_exact,
+    "d2_token_count": d2_token_count,
+    "d3_lang_id": d3_lang_id,
+    "d4_quality_score": d4_quality_score,
+    "d5_fingerprint": d5_fingerprint,
+    "d6_simhash": d6_simhash,
+    "d7_ngram_jaccard_pairs": d7_ngram_jaccard_pairs,
+    "d8_minhash_sig": d8_minhash_sig,
+    "d9_minhash_band_pairs": d9_minhash_band_pairs,
+}
