@@ -25,6 +25,21 @@ def _tokens(col):
     return F.split(F.trim(col), TOKEN_RE)
 
 
+def _docs_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan rebalanced for explode-heavy downstream compute.
+
+    A small input (few splits) would otherwise funnel the entire
+    shingle/md5 explode into one task (measured: 17s single-task vs ~1s
+    spread). At 100 TB the scan has thousands of splits and this exchange
+    is skipped — controlled by a row-count-free heuristic: only repartition
+    when the scan parallelism is below the cluster's."""
+    d = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
+    return d
+
+
 # --- D1: exact dedup (hash groupBy; at 100 TB this is the one full shuffle,
 # on a 32-hex key — minimal width) ----------------------------------------
 def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +105,7 @@ def d5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature bit is the vote sign. Bit k of a token = high bit of hex nibble
 # k of md5(token), so Spark and DuckDB agree exactly.
 def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = _docs_rebalanced(spark, sf_dir)
     tok = (
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
@@ -113,18 +128,46 @@ def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-# --- D8: MinHash signatures (4 md5-seeded hash mins over distinct tokens) ---
-def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
-        .filter(F.col("tok") != "")
+# --- D8: MinHash signatures over 3-token shingles ---------------------------
+# Shingling (not single tokens) is load-bearing at scale: with a small
+# vocabulary, token-set Jaccard between random docs is high and LSH
+# banding degenerates into a quadratic candidate blowup (measured: 7.7M
+# pairs from 5k docs before shingling). 3-shingles cube the effective
+# vocabulary so random docs share ~nothing.
+def _shingles_of(toks):
+    """3-shingle array from an already-materialized token-array column.
+
+    ``toks`` must be a column *reference* (not the split expression itself):
+    each array access inside the lambda re-evaluates its child, so inlining
+    ``split(text)`` here costs O(tokens²) regex splits per document
+    (measured: 40s → 3s at sf0.1 after materializing the split once).
+    """
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rebalanced(spark, sf_dir)
+    toks_df = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return toks_df.select(
+        "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("sh")
     )
+
+
+def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("tok")))).alias(f"mh{i}")
+        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("sh")))).alias(f"mh{i}")
         for i in range(4)
     ]
-    return tok.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 # --- D9: MinHash LSH band candidates (2 bands × 2 rows) ----------------------
@@ -133,9 +176,17 @@ def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fanout; here buckets are tiny.
 def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d8_minhash_sig(spark, sf_dir)
-    b1 = sig.select("doc_id", F.md5(F.concat_ws("|", "mh0", "mh1")).alias("band"))
-    b2 = sig.select("doc_id", F.md5(F.concat_ws("|", "mh2", "mh3")).alias("band"))
-    bands = b1.unionByName(b2)
+    # one signature pass → explode to (doc_id, band); band id is salted into
+    # the hash so band1/band2 buckets never collide with each other
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat_ws("|", F.lit("b1"), "mh0", "mh1")),
+                F.md5(F.concat_ws("|", F.lit("b2"), "mh2", "mh3")),
+            )
+        ).alias("band"),
+    )
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -148,15 +199,11 @@ def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- D7: n-gram (token) Jaccard near-dup pairs over LSH candidates -----------
-# Relational Jaccard: |A∩B| via token equi-join, |A∪B| = |A|+|B|-|A∩B|.
-# Candidates from d9 (LSH) so no cross join exists anywhere in the plan.
+# --- D7: n-gram (shingle) Jaccard near-dup pairs over LSH candidates ---------
+# Relational Jaccard: |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
+# Candidates come from d9 (LSH) so no cross join exists anywhere in the plan.
 def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
+    toks = _shingle_rows(spark, sf_dir).withColumnRenamed("sh", "tok")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     cand = d9_minhash_band_pairs(spark, sf_dir)
     shared = (
@@ -198,24 +245,30 @@ _SIMHASH_SUM_SQL = " + ".join(
     f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16)
 )
 
-_MINHASH_SIG_SQL = """
-    SELECT doc_id,
-           min(md5('seed0:' || tok)) AS mh0,
-           min(md5('seed1:' || tok)) AS mh1,
-           min(md5('seed2:' || tok)) AS mh2,
-           min(md5('seed3:' || tok)) AS mh3
-    FROM (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+_SHINGLES_SQL = r"""
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
           FROM documents)
-    WHERE tok <> ''
+"""
+
+_MINHASH_SIG_SQL = f"""
+    SELECT doc_id,
+           min(md5('seed0:' || sh)) AS mh0,
+           min(md5('seed1:' || sh)) AS mh1,
+           min(md5('seed2:' || sh)) AS mh2,
+           min(md5('seed3:' || sh)) AS mh3
+    FROM ({_SHINGLES_SQL})
     GROUP BY doc_id
 """
 
 _BAND_PAIRS_SQL = f"""
     WITH sig AS ({_MINHASH_SIG_SQL}),
     bands AS (
-      SELECT doc_id, md5(mh0 || '|' || mh1) AS band FROM sig
+      SELECT doc_id, md5('b1' || '|' || mh0 || '|' || mh1) AS band FROM sig
       UNION ALL
-      SELECT doc_id, md5(mh2 || '|' || mh3) AS band FROM sig
+      SELECT doc_id, md5('b2' || '|' || mh2 || '|' || mh3) AS band FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -276,10 +329,7 @@ ORACLES = {
     "d8_minhash_sig": _MINHASH_SIG_SQL,
     "d9_minhash_band_pairs": _BAND_PAIRS_SQL,
     "d7_ngram_jaccard_pairs": rf"""
-        WITH toks AS (
-          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-          FROM documents),
-        toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+        WITH toks2 AS (SELECT doc_id, sh AS tok FROM ({_SHINGLES_SQL})),
         sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY doc_id),
         cand AS ({_BAND_PAIRS_SQL}),
         shared AS (
