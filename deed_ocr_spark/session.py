@@ -11,7 +11,7 @@ def get_spark(
     app_name: str = "deed-ocr-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 256,
+    arrow_batch_rows: int = 1024,
 ) -> SparkSession:
     """Build a session tuned for the extraction workload.
 

@@ -1,0 +1,102 @@
+"""Property-based kernel tests (hypothesis) — invariants that must hold for
+ANY input, complementing the example-based parity tests."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from deed_ocr_spark.kernels.legal import text_similarity
+from deed_ocr_spark.kernels.ocr import Fragment, xy_cut_order
+from deed_ocr_spark.kernels.textops import clean_watermarks, ordered_dedup
+from deed_ocr_spark.golden import extract_doc
+
+text_strategy = st.text(
+    alphabet=string.ascii_letters + string.digits + " \n.,;:!?-/",
+    max_size=400,
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_clean_watermarks_idempotent_on_watermark_free(s):
+    once = clean_watermarks(s)
+    # after one pass no watermark tokens remain, so a second pass only
+    # re-applies whitespace collapse — which is idempotent
+    assert clean_watermarks(once) == once
+
+
+@given(st.lists(st.text(max_size=20)))
+@settings(max_examples=200, deadline=None)
+def test_ordered_dedup_properties(items):
+    out = ordered_dedup(items)
+    assert len(out) == len(set(out))  # no duplicates
+    assert all(x in items for x in out)  # subset
+    assert ordered_dedup(out) == out  # idempotent
+    # stable: relative order of survivors matches first occurrences
+    firsts = []
+    for x in items:
+        if x and x not in firsts:
+            firsts.append(x)
+    assert out == firsts
+
+
+@given(text_strategy, text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_text_similarity_bounds_and_symmetry_class(a, b):
+    s = text_similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    # equality class is symmetric; containment class is symmetric
+    assert text_similarity(b, a) == s or {
+        round(text_similarity(b, a), 9),
+        round(s, 9),
+    } <= {0.9, 1.0} or abs(text_similarity(b, a) - s) < 1e-12
+
+
+boxes = st.lists(
+    st.tuples(
+        st.floats(0, 500, allow_nan=False),
+        st.floats(0, 700, allow_nan=False),
+        st.floats(1, 100, allow_nan=False),
+        st.floats(1, 30, allow_nan=False),
+        st.text(alphabet=string.ascii_letters + " ", min_size=1, max_size=12),
+    ),
+    max_size=25,
+)
+
+
+@given(boxes)
+@settings(max_examples=150, deadline=None)
+def test_xy_cut_is_permutation(raw):
+    frags = [Fragment(x, y, x + w, y + h, t) for x, y, w, h, t in raw]
+    out = xy_cut_order(frags)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, frags))
+
+
+spans_strategy = st.lists(
+    st.builds(
+        dict,
+        kind=st.sampled_from(["html", "pdf_page", "ocr_region", "text", "media"]),
+        text=text_strategy,
+        media_ref=st.text(alphabet=string.ascii_lowercase + ":/", max_size=20),
+        offset=st.integers(0, 10_000_000),
+    ),
+    max_size=12,
+    unique_by=lambda s: s["offset"],
+)
+
+
+@given(spans_strategy)
+@settings(max_examples=150, deadline=None)
+def test_extract_doc_total_and_ordered(spans):
+    out = extract_doc(spans)
+    # one output span per input span, dense 0-based order
+    assert len(out) == len(spans)
+    assert [o[0] for o in out] == list(range(len(spans)))
+    # order is derived from offsets: shuffling the input changes nothing
+    out_rev = extract_doc(list(reversed(spans)))
+    assert out == out_rev
+    for _, kind, text, media_ref, src in out:
+        if kind == "media_ref":
+            assert text == ""
+        else:
+            assert media_ref == ""
