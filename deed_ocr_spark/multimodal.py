@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (task brief): image/audio/video travel as opaque ``binary`` columns
+with typed metadata structs; decode / feature-extract / resize /
+frame-sample run as Arrow-batched kernels over ``mapInPandas``. The
+imaging/audio libraries are not in this container, so the *pixel/sample*
+work is STUBBED (deterministic crc32-derived fakes, clearly marked); the
+Spark-side plumbing — schemas, batching, partitioning, UDF signatures — is
+real and tested. On a cluster, ship PIL/libvips/ffmpeg via
+``spark-submit --archives`` and swap the stub internals only.
+
+Reference anchor: page images are the reference's media artifacts
+(/root/reference/deed_ocr/utils/pdf_converter.py:101-155); it re-encodes
+PNG bytes and base64 — here those payloads stay binary end-to-end.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_TABLE_DDL = (
+    "doc_id string, media_ref string, media_kind string, payload binary, "
+    "meta struct<width:int,height:int,duration_ms:int,codec:string>"
+)
+
+DECODED_DDL = (
+    "doc_id string, media_ref string, media_kind string, width int, height int, "
+    "n_bytes bigint, codec string, sha bigint"
+)
+
+RESIZED_DDL = (
+    "doc_id string, media_ref string, out_width int, out_height int, payload binary"
+)
+
+FRAMES_DDL = (
+    "doc_id string, media_ref string, frame_idx int, ts_ms int, payload binary"
+)
+
+
+def _crc(s: pd.Series) -> pd.Series:
+    return s.map(lambda r: zlib.crc32(str(r).encode("utf-8")))
+
+
+def synth_media_table(spans_out: DataFrame) -> DataFrame:
+    """Build a media table from extraction output: every media_ref span
+    becomes a row with a deterministic fake binary payload + typed meta.
+
+    Real pipelines would join media_ref → object-store bytes; the synthetic
+    payload keeps the binary column path exercised end-to-end.
+    """
+    media = spans_out.filter(F.col("kind") == "media_ref").select("doc_id", "media_ref")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            crc = _crc(pdf["media_ref"])
+            kind = np.where(crc % 3 == 0, "image", np.where(crc % 3 == 1, "audio", "video"))
+            payload = [
+                bytes((c >> (8 * (i % 4))) & 0xFF for i in range(64 + c % 192))
+                for c in crc
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": kind,
+                    "payload": payload,
+                    "meta": [
+                        {
+                            "width": int(64 + c % 1024),
+                            "height": int(64 + (c // 1024) % 1024),
+                            "duration_ms": int(c % 60000),
+                            "codec": "png" if c % 2 == 0 else "jpeg",
+                        }
+                        for c in crc
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, MEDIA_TABLE_DDL)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode kernel: binary payload → dimensions/codec/feature hash.
+
+    STUB: real decode would be ``PIL.Image.open(io.BytesIO(b))`` per
+    element inside the same batch loop; everything else (schema, Arrow
+    batching, vectorized metadata math) is the production shape.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            crc = pdf["payload"].map(lambda b: zlib.crc32(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "media_kind": pdf["media_kind"],
+                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "n_bytes": n_bytes,
+                    "codec": pdf["meta"].map(lambda m: m["codec"]),
+                    "sha": crc.astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, DECODED_DDL)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize kernel for image rows (STUB pixels, real shape math: aspect
+    ratio preserved, longest side → max_side, mirroring the reference's
+    dpi-controlled render sizing utils/pdf_converter.py:51-52)."""
+    imgs = media.filter(F.col("media_kind") == "image")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = pdf["meta"].map(lambda m: m["width"]).astype("float64")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("float64")
+            scale = np.minimum(1.0, max_side / np.maximum(w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "out_width": np.maximum(1, (w * scale).round()).astype("int32"),
+                    "out_height": np.maximum(1, (h * scale).round()).astype("int32"),
+                    # STUB: real path re-encodes resized pixels
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return imgs.mapInPandas(kernel, RESIZED_DDL)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling kernel for video rows: 1 doc row → N frame rows
+    (UDTF shape). Timestamps are real plumbing; frame bytes are STUB."""
+    vids = media.filter(F.col("media_kind") == "video")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = int(r["meta"]["duration_ms"])
+                n = min(max_frames, max(1, dur // every_ms))
+                for i in range(n):
+                    rows.append(
+                        (r["doc_id"], r["media_ref"], i, i * every_ms, r["payload"][:16])
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "frame_idx", "ts_ms", "payload"]
+                ).astype({"frame_idx": "int32", "ts_ms": "int32"})
+
+    return vids.mapInPandas(kernel, FRAMES_DDL)

@@ -8,10 +8,6 @@ test suite (tests/test_golden_spark_parity.py) instead.
 
 from __future__ import annotations
 
-import zlib
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from deed_ocr_spark.corpus import corpus_df
@@ -53,49 +49,37 @@ def x2_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- M1: multimodal plumbing — media decode stub over mapInPandas ------------
-MEDIA_META_DDL = (
-    "doc_id string, media_ref string, width int, height int, n_bytes bigint, codec string"
-)
+# --- M1-M3: multimodal plumbing (see deed_ocr_spark.multimodal) --------------
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deed_ocr_spark.multimodal import synth_media_table
 
-
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in for an image-decode kernel.
-
-    The real decode (PIL/libvips) is unavailable in this container, so the
-    pixel work is STUBBED with a crc32-derived fake; everything Spark-side
-    — binary-safe schema, Arrow batching, vectorized shape — is real. Swap
-    ``_fake_decode`` internals for actual decode on a cluster with the
-    imaging libs shipped via --archives.
-    """
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        crc = pdf["media_ref"].map(lambda r: zlib.crc32(r.encode("utf-8")))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_ref": pdf["media_ref"],
-                "width": (64 + (crc % 1024)).astype("int32"),
-                "height": (64 + ((crc // 1024) % 1024)).astype("int32"),
-                "n_bytes": (1000 + (crc % 100000)).astype("int64"),
-                "codec": pd.Series(
-                    ["png" if c % 2 == 0 else "jpeg" for c in crc], dtype="object"
-                ),
-            }
-        )
+    return synth_media_table(extract_spans(_corpus(spark, sf_dir)))
 
 
 def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spans = extract_spans(_corpus(spark, sf_dir))
-    media = spans.filter(F.col("kind") == "media_ref").select("doc_id", "media_ref")
-    return media.mapInPandas(_fake_decode, MEDIA_META_DDL)
+    from deed_ocr_spark.multimodal import decode_media
+
+    return decode_media(_media_table(spark, sf_dir))
+
+
+def m2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deed_ocr_spark.multimodal import resize_images
+
+    return resize_images(_media_table(spark, sf_dir)).drop("payload")
+
+
+def m3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deed_ocr_spark.multimodal import sample_frames
+
+    return sample_frames(_media_table(spark, sf_dir)).drop("payload")
 
 
 QUERIES = {
     "x1_extract_spans": x1_extract_spans,
     "x2_doc_summaries": x2_doc_summaries,
     "m1_media_metadata": m1_media_metadata,
+    "m2_image_resize": m2_image_resize,
+    "m3_video_frames": m3_video_frames,
 }
 
 ORACLES: dict = {}
