@@ -1,0 +1,64 @@
+"""Unit tests for the A3/A7/P9 merge kernels (reference-exact semantics)."""
+
+from deed_ocr_spark.kernels.mergeops import classify_error, dedup_sweep, merge_details
+
+
+def test_merge_details_conflict_rename():
+    # workflow.py:253-260: first writer keeps the bare key; later pages get
+    # page_{n}_{key}
+    out = merge_details(
+        [
+            (1, {"document_type": "deed", "county": "Example"}),
+            (2, {"document_type": "lease"}),
+            (3, {"county": "Other", "state": "TX"}),
+        ]
+    )
+    assert out == {
+        "document_type": "deed",
+        "county": "Example",
+        "page_2_document_type": "lease",
+        "page_3_county": "Other",
+        "state": "TX",
+    }
+
+
+def test_merge_details_skips_non_dict():
+    assert merge_details([(1, None), (2, "oops"), (3, {"k": "v"})]) == {"k": "v"}
+
+
+def test_dedup_sweep():
+    result = {
+        "legal_description_block": ["a", "b", "a", ""],
+        "TRS": ["t1", "t1"],
+        "full_text": ["x", "x"],  # special field: untouched
+        "mixed": ["s", 1],  # not all-string: untouched
+        "details": {
+            "TRS": ["redundant"],  # dropped entirely
+            "parties": ["p1", "p1", "p2"],
+            "note": "scalar stays",
+        },
+    }
+    out = dedup_sweep(result)
+    assert out["legal_description_block"] == ["a", "b"]
+    assert out["TRS"] == ["t1"]
+    assert out["full_text"] == ["x", "x"]
+    assert out["mixed"] == ["s", 1]
+    assert "TRS" not in out["details"]
+    assert out["details"]["parties"] == ["p1", "p2"]
+    assert out["details"]["note"] == "scalar stays"
+    # input not mutated
+    assert result["details"]["TRS"] == ["redundant"]
+
+
+def test_classify_error_reference_ladder():
+    # workflow.py:86-107, exact order and retry flags
+    assert classify_error("Read timed out after 30s") == ("timeout", True)
+    assert classify_error("Rate limit exceeded; quota") == ("rate_limit", True)
+    assert classify_error("Network connection unreachable") == ("network", True)
+    assert classify_error("Invalid API key provided") == ("authentication", False)
+    assert classify_error("Resource not found (404)") == ("not_found", False)
+    assert classify_error("HTTP 500 internal server error") == ("server_error", True)
+    assert classify_error("could not parse JSON response") == ("json_parsing", True)
+    assert classify_error("something odd") == ("unknown", True)
+    # ladder order: "connection timeout" hits timeout before network
+    assert classify_error("connection timeout")[0] == "timeout"
