@@ -22,6 +22,7 @@ layout and commit protocol are Iceberg-shaped: swapping the writes to
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -38,6 +39,11 @@ STATE_SCHEMA_DDL = (
 
 
 def read_state(spark: SparkSession, state_dir: str) -> Optional[DataFrame]:
+    # cheap existence probe first: avoids the JVM logging a PATH_NOT_FOUND
+    # stack trace on every first run (local paths; remote URIs fall through
+    # to the try/except)
+    if "://" not in state_dir and not os.path.exists(state_dir):
+        return None
     try:
         return spark.read.parquet(state_dir)
     except Exception:

@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--run-id", required=True)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--partitions", type=int, default=0)
+    p.add_argument(
+        "--summaries-out",
+        help="also write per-document summaries (legal descriptions, TRS, "
+        "metrics — the reference's final_result analog) to this dir",
+    )
     args = p.parse_args(argv)
 
     if not args.input and not args.gen_docs:
@@ -52,6 +57,13 @@ def main(argv=None):
         df = corpus_df(spark, args.gen_docs, seed=args.seed, n_partitions=args.partitions)
     else:
         df = spark.read.parquet(args.input)
+
+    if args.summaries_out:
+        from deed_ocr_spark.job import extract_summaries
+
+        extract_summaries(df, n_partitions=args.partitions).write.mode(
+            "overwrite"
+        ).parquet(args.summaries_out)
 
     t0 = time.time()
     stats = run_extraction_job(
