@@ -205,6 +205,35 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- set ops (SURVEY §2.6): union + except with distinct semantics ---------
+def u1_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    e = t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    return c.union(s).distinct().subtract(e.distinct())
+
+
+# --- W4/W5: deterministic global sort + limit -------------------------------
+def w4_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# --- F5: format_string templating (page-separator shape, workflow.py:221) ---
+def f5_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.format_string(
+            "--- Page %d --- [%s]", (F.col("doc_id") % 30) + 1, F.col("lang")
+        ).alias("page_header"),
+    )
+
+
 ORACLES = {
     "p1_filter_project": """
         SELECT doc_id, lang, n_chars FROM documents
@@ -310,7 +339,28 @@ ORACLES = {
     """,
 }
 
+ORACLES["u1_union_except"] = """
+    SELECT k FROM (
+      SELECT c_custkey AS k FROM customer
+      UNION
+      SELECT s_suppkey AS k FROM supplier)
+    EXCEPT
+    SELECT user_id AS k FROM events
+"""
+ORACLES["w4_sort_limit"] = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+ORACLES["f5_format_string"] = """
+    SELECT doc_id,
+           printf('--- Page %d --- [%s]', (doc_id % 30) + 1, lang) AS page_header
+    FROM documents
+"""
+
 QUERIES = {
+    "u1_union_except": u1_union_except,
+    "w4_sort_limit": w4_sort_limit,
+    "f5_format_string": f5_format_string,
     "p1_filter_project": p1_filter_project,
     "p2_regex_extract": p2_regex_extract,
     "p7_watermark_clean": p7_watermark_clean,

@@ -136,8 +136,36 @@ ORACLES = {
     """,
 }
 
+# --- E4: bucketed ANN (rows-only) — the scale path end-to-end ---------------
+# LSH buckets (e2) → within-bucket pairwise cosine via equi-join on bucket →
+# top-k neighbors per vector by window. No cross join: candidate fanout is
+# bounded by bucket population. This is the shape that replaces brute force
+# at 10^9+ vectors (more planes ⇒ smaller buckets; multiple tables ⇒ recall).
+def e4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    b = e2_lsh_buckets(spark, sf_dir)
+    v = e.join(b, "vec_id").select("vec_id", "bucket", "embedding")
+    a = v.select(
+        F.col("vec_id").alias("qid"), "bucket", F.col("embedding").alias("qv")
+    )
+    pairs = a.join(v, "bucket").filter(F.col("qid") != F.col("vec_id"))
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        _norm(F.col("qv")) * _norm(F.col("embedding"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor"), F.round("cos", 4).alias("cos_sim"), "rk")
+    )
+
+
 QUERIES = {
     "e1_cosine_topk": e1_cosine_topk,
     "e2_lsh_buckets": e2_lsh_buckets,
     "e3_embedding_stats": e3_embedding_stats,
+    "e4_lsh_ann_topk": e4_lsh_ann_topk,
 }
