@@ -1,0 +1,57 @@
+"""Physical-plan audits: lock in the plan properties the scale design
+depends on (SURVEY §4.2 / ARCHITECTURE.md). A regression that reintroduces
+a shuffle, loses pushdown, or drops a broadcast fails here, not at 100 TB.
+"""
+
+import re
+
+from deed_ocr_spark.corpus import corpus_df
+from deed_ocr_spark.job import extract_spans
+from deed_ocr_spark.queries.relational import (
+    j2_join_agg,
+    j4_resume_antijoin,
+    p1_filter_project,
+)
+from deed_ocr_spark.queries.textpipe import d9_minhash_band_pairs
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_extraction_plan_no_shuffle_and_pruned(spark, tmp_path):
+    # write with an extra column; the extraction scan must prune it away
+    path = str(tmp_path / "c")
+    base = corpus_df(spark, 50, seed=3, n_partitions=2)
+    base.withColumn("junk", base["doc_id"].substr(1, 2)).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = _plan(extract_spans(df))
+    assert "Exchange" not in plan, "default extraction path must not shuffle"
+    assert "MapInPandas" in plan
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m and "junk" not in m.group(1), "column pruning lost"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(p1_filter_project(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(n_chars,200)" in plan or "n_chars" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_broadcast_join_used(spark):
+    plan = _plan(j2_join_agg(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    plan2 = _plan(j4_resume_antijoin(spark, SF))
+    assert "BroadcastHashJoin LeftAnti" in plan2 or (
+        "LeftAnti" in plan2 and "Broadcast" in plan2
+    )
+
+
+def test_lsh_pairs_plan_has_no_cartesian(spark):
+    plan = _plan(d9_minhash_band_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
