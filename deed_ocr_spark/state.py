@@ -76,13 +76,19 @@ def run_extraction_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = with_partition_bucket(input_df.select("doc_id", "spans"), n_buckets)
 
+    # Pending = all buckets minus the ledger's done set. The done set is
+    # tiny (≤ n_buckets rows) so it collects to the driver; the input-side
+    # restriction stays a broadcast anti-join (never a collect of doc ids).
     done = done_buckets(spark, state_dir)
-    pending = bucketed
-    if done is not None:
-        # Resume anti-join (reference retry_helper.py:186-222 analog).
-        pending = bucketed.join(F.broadcast(done), "part_bucket", "left_anti")
-    if only_buckets is not None:
-        pending = pending.filter(F.col("part_bucket").isin(only_buckets))
+    done_ids = set() if done is None else {r["part_bucket"] for r in done.collect()}
+    pending_ids = [
+        b
+        for b in range(n_buckets)
+        if b not in done_ids and (only_buckets is None or b in only_buckets)
+    ]
+    if not pending_ids:
+        return _job_counters(spark, state_dir)
+    pending = bucketed.filter(F.col("part_bucket").isin(pending_ids))
 
     # Bucket is recomputed from doc_id after the kernel (pure function —
     # cheaper than carrying it through the Arrow channel, and no join).
@@ -93,20 +99,29 @@ def run_extraction_job(
     # 1) data commit: dynamic overwrite replaces exactly the re-run buckets
     spans_out.write.mode("overwrite").partitionBy("part_bucket").parquet(out_dir)
 
-    # 2) state commit (after data): per-bucket metrics ledger
-    metrics = partition_metrics(spark.read.parquet(out_dir)).withColumns(
-        {
-            "run_id": F.lit(run_id),
-            "status": F.lit("done"),
-            "error_kind": F.lit(""),
-            "lineage": F.lit(lineage or f"code={__version__}"),
-            "committed_at": F.lit(time.time()),
-        }
+    # 2) state commit (after data): per-bucket metrics ledger. The re-read
+    # is partition-PRUNED to the buckets this run wrote (at 100 TB a full
+    # output re-scan here would dwarf the job); buckets that held no
+    # documents still get a done row so resume never re-schedules them.
+    written = spark.read.parquet(out_dir).filter(
+        F.col("part_bucket").isin(pending_ids)
     )
-    if only_buckets is not None:
-        metrics = metrics.filter(F.col("part_bucket").isin(only_buckets))
-    elif done is not None:
-        metrics = metrics.join(F.broadcast(done), "part_bucket", "left_anti")
+    pending_df = spark.createDataFrame(
+        [(b,) for b in pending_ids], "part_bucket int"
+    )
+    metrics = (
+        pending_df.join(partition_metrics(written), "part_bucket", "left")
+        .fillna(0, ["docs", "spans_emitted", "pages_parsed", "ocr_regions"])
+        .withColumns(
+            {
+                "run_id": F.lit(run_id),
+                "status": F.lit("done"),
+                "error_kind": F.lit(""),
+                "lineage": F.lit(lineage or f"code={__version__}"),
+                "committed_at": F.lit(time.time()),
+            }
+        )
+    )
     metrics.select(
         "run_id",
         "part_bucket",
@@ -120,13 +135,20 @@ def run_extraction_job(
         "committed_at",
     ).write.mode("append").parquet(state_dir)
 
+    return _job_counters(spark, state_dir)
+
+
+def _job_counters(spark: SparkSession, state_dir: str) -> dict:
     state = spark.read.parquet(state_dir)
-    agg = state.filter(F.col("status") == "done").agg(
-        F.countDistinct("part_bucket").alias("buckets_done"),
-        F.sum("docs").alias("docs"),
-        F.sum("spans_emitted").alias("spans"),
+    row = (
+        state.filter(F.col("status") == "done")
+        .agg(
+            F.countDistinct("part_bucket").alias("buckets_done"),
+            F.sum("docs").alias("docs"),
+            F.sum("spans_emitted").alias("spans"),
+        )
+        .collect()[0]
     )
-    row = agg.collect()[0]
     return {
         "buckets_done": row["buckets_done"],
         "docs": row["docs"],
