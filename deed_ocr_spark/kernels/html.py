@@ -50,9 +50,12 @@ MAX_LINK_DENSITY = 0.33
 
 def _visible_text(fragment: str) -> str:
     """Strip tags, unescape entities, collapse whitespace."""
-    text = _ANY_TAG.sub(" ", fragment)
-    text = _htmllib.unescape(text)
-    return _WS.sub(" ", text).strip()
+    if "<" in fragment:
+        fragment = _ANY_TAG.sub(" ", fragment)
+    if "&" in fragment:  # unescape is regex-backed; skip when no entity
+        fragment = _htmllib.unescape(fragment)
+    # ' '.join(split()) == collapse-all-whitespace + strip, without regex
+    return " ".join(fragment.split())
 
 
 def strip_html_boilerplate(

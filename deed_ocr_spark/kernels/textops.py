@@ -32,27 +32,32 @@ _RE_MULTI_SPACE = re.compile(r" +")
 
 
 def clean_watermarks(text: str, watermarks: Sequence[str] = WATERMARKS_FULL) -> str:
-    """Scalar watermark cleanup, byte-parity with workflow.py:711-726."""
+    """Scalar watermark cleanup, byte-parity with workflow.py:711-726.
+
+    The regex passes are guarded by cheap substring probes: a text with no
+    ``\\n`` cannot match the excess-newline pattern, and one with no double
+    space cannot match ``" +"`` with a replacement that changes anything —
+    profiling showed these two subs dominating the batch kernel.
+    """
     for wm in watermarks:
-        text = text.replace(wm, "")
-    text = _RE_EXCESS_NEWLINES.sub("\n\n", text)
-    text = _RE_MULTI_SPACE.sub(" ", text)
+        if wm in text:
+            text = text.replace(wm, "")
+    if "\n" in text:
+        text = _RE_EXCESS_NEWLINES.sub("\n\n", text)
+    if "  " in text:
+        text = _RE_MULTI_SPACE.sub(" ", text)
     return text.strip()
 
 
 def clean_watermarks_series(
     s: pd.Series, watermarks: Sequence[str] = WATERMARKS_FULL
 ) -> pd.Series:
-    """Vectorized watermark cleanup over a pandas string Series.
-
-    Must produce byte-identical output to :func:`clean_watermarks` per
-    element (tested); pandas ``.str`` ops use the same ``re`` engine.
-    """
-    for wm in watermarks:
-        s = s.str.replace(wm, "", regex=False)
-    s = s.str.replace(_RE_EXCESS_NEWLINES, "\n\n", regex=True)
-    s = s.str.replace(_RE_MULTI_SPACE, " ", regex=True)
-    return s.str.strip()
+    """Cleanup over a pandas string Series — same function per element as
+    the scalar path, so byte-parity is structural (and the substring guards
+    beat a pandas .str regex chain that cannot skip elements)."""
+    if tuple(watermarks) == WATERMARKS_FULL:
+        return s.map(clean_watermarks)
+    return s.map(lambda t: clean_watermarks(t, watermarks))
 
 
 def ordered_dedup(items: Iterable[str]) -> List[str]:
