@@ -39,10 +39,11 @@ from deed_ocr_spark.kernels.textops import (
 )
 
 # Output span schema — the north_rule tuple plus provenance (src_kind feeds
-# the state-table metrics; the equality check uses only the first four).
+# the state-table metrics; status is the per-row error channel; the
+# equality check uses only the first four).
 SPANS_OUT_DDL = (
     "doc_id string, order int, kind string, text string, "
-    "media_ref string, src_kind string"
+    "media_ref string, src_kind string, status string"
 )
 
 DOC_SUMMARY_DDL = (
@@ -86,15 +87,35 @@ def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _safe(fn):
+    """Per-row error channel (SURVEY §4.2): kernels never raise across the
+    Arrow boundary — a failing span becomes an empty text span tagged with
+    the reference's error taxonomy (workflow.py:269-282 keep-going
+    discipline; taxonomy workflow.py:65-110), and the job continues."""
+
+    def wrapped(text):
+        try:
+            return fn(text), "ok"
+        except Exception as exc:  # noqa: BLE001 — the channel IS the handler
+            from deed_ocr_spark.kernels.mergeops import classify_error
+
+            return "", classify_error(str(exc))[0]
+
+    return wrapped
+
+
 def _extract_flat(flat: pd.DataFrame) -> pd.DataFrame:
     """Kind-dispatched extraction over the exploded batch (masked, batched)."""
     n = len(flat)
     out_text = pd.Series([""] * n, dtype="object")
+    status = pd.Series(["ok"] * n, dtype="object")
     src = flat["src_kind"]
     for kind, fn in _KIND_FN.items():
         mask = (src == kind).to_numpy()
         if mask.any():
-            out_text[mask] = flat.loc[mask, "in_text"].map(fn)
+            pairs = flat.loc[mask, "in_text"].map(_safe(fn))
+            out_text[mask] = pairs.map(lambda p: p[0])
+            status[mask] = pairs.map(lambda p: p[1])
     passthrough = (src == "text").to_numpy()
     if passthrough.any():
         out_text[passthrough] = flat.loc[passthrough, "in_text"]
@@ -112,6 +133,7 @@ def _extract_flat(flat: pd.DataFrame) -> pd.DataFrame:
             "text": np.where(is_media, "", out_text),
             "media_ref": np.where(is_media, flat["in_media_ref"], ""),
             "src_kind": flat["src_kind"],
+            "status": status,
         }
     )
 

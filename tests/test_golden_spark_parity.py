@@ -82,6 +82,7 @@ def test_output_schema_types(spark):
         "text": "string",
         "media_ref": "string",
         "src_kind": "string",
+        "status": "string",
     }
     # media spans carry refs, text spans carry "" (not null) — dtype trap
     sample = out.collect()
