@@ -163,9 +163,57 @@ def e4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- E5: IVF ANN (rows-only) — inverted-file variant of the scale path ------
+# Coarse quantizer: K centroids (deterministically the first K vectors here;
+# k-means-trained and broadcast in production). Each vector is assigned to
+# its nearest centroid (one map-side pass); a query probes its nprobe
+# closest cells and searches only those inverted lists. Same
+# no-cross-join discipline as LSH: candidate generation is an equi-join on
+# cell id.
+def e5_ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, k_cells: int = 8, nprobe: int = 2, topk: int = 3
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < k_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+    )
+    # assignment: nearest centroid by cosine (map-side over broadcast cells)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        (_dot(F.col("embedding"), F.col("cv")) / (_norm(F.col("embedding")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= nprobe)
+        .select("vec_id", "cell", "embedding", (F.col("rk") == 1).alias("is_home"))
+    )
+    # inverted lists = home assignments; queries probe nprobe cells
+    lists = assigned.filter(F.col("is_home")).select(
+        F.col("cell"), F.col("vec_id").alias("cand"), F.col("embedding").alias("cv2")
+    )
+    probes = assigned.select(F.col("cell"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    pairs = probes.join(lists, "cell").filter(F.col("qid") != F.col("cand"))
+    cos = _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2")))
+    w_top = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
+    return (
+        pairs.select("qid", "cand", cos.alias("cos"))
+        .dropDuplicates(["qid", "cand"])
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= topk)
+        .select("qid", F.col("cand").alias("neighbor"), F.round("cos", 4).alias("cos_sim"), "rk")
+    )
+
+
 QUERIES = {
     "e1_cosine_topk": e1_cosine_topk,
     "e2_lsh_buckets": e2_lsh_buckets,
     "e3_embedding_stats": e3_embedding_stats,
     "e4_lsh_ann_topk": e4_lsh_ann_topk,
+    "e5_ivf_ann_topk": e5_ivf_ann_topk,
 }

@@ -347,7 +347,37 @@ ORACLES = {
     """,
 }
 
+# --- D10: production-path MinHash (rows-only) --------------------------------
+# The oracle-backed d8/d9 use md5 strings for DuckDB portability; at scale
+# the signature should be 64-bit ints through xxhash64 (hash-aggregable
+# min(bigint) → HashAggregate instead of SortAggregate, no string buffers).
+# Semantically identical LSH; only the hash family differs.
+def d10_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_rows(spark, sf_dir)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(4)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.xxhash64(F.lit("b1"), "mh0", "mh1"),
+                F.xxhash64(F.lit("b2"), "mh2", "mh3"),
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 QUERIES = {
+    "d10_minhash_fast_pairs": d10_minhash_fast_pairs,
     "d1_dedup_exact": d1_dedup_exact,
     "d2_token_count": d2_token_count,
     "d3_lang_id": d3_lang_id,
