@@ -140,20 +140,29 @@ def _gen_pdf_page(rng: random.Random) -> str:
 def _gen_ocr_region(rng: random.Random) -> str:
     """Scrambled OCR fragments; reading order recoverable by XY-cut.
 
-    Layout: either single column (rows separated by clear y-gaps) or two
-    columns (clear x-gap), fragments shuffled deterministically.
+    Layouts: single column (clear y-gaps), two columns (clear x-gap), or a
+    2×2 quadrant page (top band with an x-gap, y-gap, bottom band with an
+    x-gap) — the latter forces a *nested* cut: horizontal first, then a
+    vertical cut inside each band. Fragments shuffled deterministically.
     """
     frags: List[str] = []
-    two_col = rng.random() < 0.4
-    n_rows = rng.randint(2, 6)
-    y = 30.0
-    for _ in range(n_rows):
-        if two_col:
-            frags.append(f"40,{y:.0f},280,{y + 12:.0f}|{_sentence(rng)}")
-            frags.append(f"320,{y:.0f},560,{y + 12:.0f}|{_sentence(rng)}")
-        else:
-            frags.append(f"40,{y:.0f},560,{y + 12:.0f}|{_maybe_watermark(rng, _sentence(rng))}")
-        y += 12 + rng.uniform(20, 40)
+    style = rng.random()
+    if style < 0.15:  # 2×2 quadrants — nested cuts
+        for band_y in (30.0, 160.0):
+            for _ in range(rng.randint(1, 2)):
+                frags.append(f"40,{band_y:.0f},280,{band_y + 12:.0f}|{_sentence(rng)}")
+                frags.append(f"320,{band_y:.0f},560,{band_y + 12:.0f}|{_sentence(rng)}")
+    else:
+        two_col = style < 0.5
+        n_rows = rng.randint(2, 6)
+        y = 30.0
+        for _ in range(n_rows):
+            if two_col:
+                frags.append(f"40,{y:.0f},280,{y + 12:.0f}|{_sentence(rng)}")
+                frags.append(f"320,{y:.0f},560,{y + 12:.0f}|{_sentence(rng)}")
+            else:
+                frags.append(f"40,{y:.0f},560,{y + 12:.0f}|{_maybe_watermark(rng, _sentence(rng))}")
+            y += 12 + rng.uniform(20, 40)
     rng.shuffle(frags)
     return "\n".join(frags)
 

@@ -260,6 +260,19 @@ def test_xy_cut_two_columns():
     ]
 
 
+def test_xy_cut_nested_quadrants():
+    # 2×2 layout: horizontal cut splits top/bottom bands, then a vertical
+    # cut inside each band — reading order TL, TR, BL, BR (row-major by
+    # band because the y-cut dominates)
+    frags = [
+        Fragment(320, 160, 560, 172, "BR"),
+        Fragment(40, 30, 280, 42, "TL"),
+        Fragment(320, 30, 560, 42, "TR"),
+        Fragment(40, 160, 280, 172, "BL"),
+    ]
+    assert [f.text for f in xy_cut_order(frags)] == ["TL", "TR", "BL", "BR"]
+
+
 def test_ocr_region_text_scrambled_recovers_order():
     payload = "\n".join(
         [
