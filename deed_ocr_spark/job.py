@@ -78,4 +78,10 @@ def partition_metrics(spans_out: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("src_kind") == "ocr_region", 1).otherwise(0)).alias(
             "ocr_regions"
         ),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("span_errors"),
+        # a representative non-ok status for the bucket, '' when clean
+        # (deterministic lexicographic max — P9 ledger analog)
+        F.coalesce(
+            F.max(F.when(F.col("status") != "ok", F.col("status"))), F.lit("")
+        ).alias("error_kind"),
     )

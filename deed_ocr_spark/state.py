@@ -34,7 +34,7 @@ from deed_ocr_spark.job import extract_spans, partition_metrics, with_partition_
 STATE_SCHEMA_DDL = (
     "run_id string, part_bucket int, status string, docs bigint, "
     "spans_emitted bigint, pages_parsed bigint, ocr_regions bigint, "
-    "error_kind string, lineage string, committed_at double"
+    "span_errors bigint, error_kind string, lineage string, committed_at double"
 )
 
 
@@ -111,12 +111,12 @@ def run_extraction_job(
     )
     metrics = (
         pending_df.join(partition_metrics(written), "part_bucket", "left")
-        .fillna(0, ["docs", "spans_emitted", "pages_parsed", "ocr_regions"])
+        .fillna(0, ["docs", "spans_emitted", "pages_parsed", "ocr_regions", "span_errors"])
+        .fillna("", ["error_kind"])
         .withColumns(
             {
                 "run_id": F.lit(run_id),
                 "status": F.lit("done"),
-                "error_kind": F.lit(""),
                 "lineage": F.lit(lineage or f"code={__version__}"),
                 "committed_at": F.lit(time.time()),
             }
@@ -130,6 +130,7 @@ def run_extraction_job(
         "spans_emitted",
         "pages_parsed",
         "ocr_regions",
+        "span_errors",
         "error_kind",
         "lineage",
         "committed_at",
