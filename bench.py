@@ -11,9 +11,10 @@ Scaling evidence (north_rule: efficiency ≥0.8 from N→4N): run
 
     python bench.py --scaling
 
-which executes the same extraction at local[8] and local[32] on the same
-pre-materialized input and reports throughput at both plus efficiency
-(see BENCH.md).
+which executes the same extraction at local[2], local[8] and local[32]
+(each in its own process) on the same pre-materialized input and reports
+throughput at each level, both N→4N efficiencies, and a no-Spark
+multiprocessing hardware baseline for the same kernel (see BENCH.md).
 """
 
 from __future__ import annotations
@@ -194,12 +195,14 @@ def scaling_main() -> None:
     out = {}
     for cores in (2, 8, 32):
         time.sleep(10)  # let the previous JVM fully tear down (VM steal noise)
-        res = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", str(cores), corpus_path],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
+        # Pin the whole process tree (JVM helper threads + Python workers)
+        # to exactly N CPUs: local[N] alone only bounds task slots, so an
+        # unpinned 2-core run borrows silicon for GC/Arrow/shuffle threads
+        # and understates scaling. Pinning emulates an N-core executor.
+        cmd = [sys.executable, __file__, "--scaling-worker", str(cores), corpus_path]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
         rec = json.loads(res.stdout.strip().splitlines()[-1])
         out[cores] = rec["docs_per_sec"]
 
