@@ -22,6 +22,11 @@ from deed_ocr_spark.kernels.legal import (
     dedup_descriptions,
     merge_final_lists,
 )
+from deed_ocr_spark.kernels.mergeops import (
+    classify_error,
+    dedup_sweep,
+    merge_details,
+)
 
 __all__ = [
     "clean_watermarks",
@@ -37,4 +42,7 @@ __all__ = [
     "text_similarity",
     "dedup_descriptions",
     "merge_final_lists",
+    "classify_error",
+    "dedup_sweep",
+    "merge_details",
 ]
