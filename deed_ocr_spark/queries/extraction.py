@@ -49,6 +49,40 @@ def x2_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X3: grouped-UDF alternative (applyInPandas) ------------------------------
+# The engine's default fuses the per-doc merge into the extraction
+# mapInPandas (no shuffle). This is the *relational* formulation — spans
+# grouped by doc_id through an applyInPandas kernel — kept as (a) API
+# coverage of the grouped-pandas path (SURVEY §2.9) and (b) a live
+# cross-check that both formulations agree (tested). At scale the fused
+# path wins by exactly one exchange of the span payload.
+def x3_doc_summaries_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from deed_ocr_spark.extract import _doc_summaries
+
+    spans = extract_spans(_corpus(spark, sf_dir))
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _doc_summaries(pdf)
+
+    out = spans.groupBy("doc_id").applyInPandas(
+        per_doc,
+        "doc_id string, n_pages int, n_spans int, n_media int, "
+        "combined_chars bigint, legal_description_block array<string>, "
+        "trs array<string>",
+    )
+    return out.select(
+        "doc_id",
+        "n_pages",
+        "n_spans",
+        "n_media",
+        "combined_chars",
+        F.array_join("legal_description_block", "␞").alias("legal_descriptions"),
+        F.array_join("trs", "␞").alias("trs"),
+    )
+
+
 # --- M1-M3: multimodal plumbing (see deed_ocr_spark.multimodal) --------------
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deed_ocr_spark.multimodal import synth_media_table
@@ -77,6 +111,7 @@ def m3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "x1_extract_spans": x1_extract_spans,
     "x2_doc_summaries": x2_doc_summaries,
+    "x3_doc_summaries_grouped": x3_doc_summaries_grouped,
     "m1_media_metadata": m1_media_metadata,
     "m2_image_resize": m2_image_resize,
     "m3_video_frames": m3_video_frames,
