@@ -69,6 +69,24 @@ HEADERS = [
     "EXHIBIT A",
 ]
 
+# Condensed from the reference's warranty-deed fixture
+# (/root/reference/test/test_gemini_ocr.py:14-62): metes-and-bounds courses
+# plus the TRS line — exercises the DOTALL metes_bounds pattern across
+# multiple THENCE courses and the spaced township/range form.
+WARRANTY_DEED_SAMPLE = (
+    # single-line so it embeds safely in the line-oriented pdf/ocr encodings
+    "GENERAL WARRANTY DEED - KNOW ALL MEN BY THESE PRESENTS, that the "
+    "grantors, for consideration acknowledged, have GRANTED, SOLD and "
+    "CONVEYED unto the grantees all that certain tract of land described as "
+    "follows: BEGINNING at a point in the south line of said survey, said "
+    "point being South 89 30 00 East 100.00 feet from the southwest corner; "
+    "THENCE North 0 30 00 East 200.00 feet to a point; THENCE South 89 30 00 "
+    "East 150.00 feet to a point; THENCE North 89 30 00 West 150.00 feet to "
+    "the POINT OF BEGINNING, containing 0.69 acres, more or less. "
+    "Township 2 North, Range 3 West, Section 14. "
+    "EXECUTED this 15th day of March, 2024."
+)
+
 NAV_WORDS = ["Home", "Search", "Records", "Login", "About", "Contact", "Help", "Index"]
 
 WATERMARK_FORMS = ["UNOFFICIAL COPY", "UNOFFICIAL COPY UNOFFICIAL COPY", "UNO"]
@@ -79,7 +97,10 @@ def _doc_rng(doc_id: str, seed: int) -> random.Random:
 
 
 def _sentence(rng: random.Random) -> str:
-    if rng.random() < 0.25:
+    roll = rng.random()
+    if roll < 0.02:
+        return WARRANTY_DEED_SAMPLE
+    if roll < 0.27:
         return rng.choice(LEGAL_SNIPPETS)
     return rng.choice(PLAIN_SNIPPETS)
 
