@@ -251,6 +251,47 @@ def j5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- engine extras beyond the reference: rollup, pivot, approx-distinct -----
+def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS / ROLLUP over (lang, source) — subtotal rows carry
+    NULLs, marked with grouping level for unambiguous hashing."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+    )
+
+
+def a13_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → per-user columns. Expressed as conditional
+    aggregation (the portable form; Spark's .pivot() compiles to the same
+    physical plan for a known value list)."""
+    e = t(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == ty, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{ty}")
+        for ty in types
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — sketch values are engine-specific so
+    this is rows-only; the companion exact count is oracle-checked via
+    a10-style queries."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # --- set ops (SURVEY §2.6): union + except with distinct semantics ---------
 def u1_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
@@ -412,6 +453,21 @@ ORACLES["j5_nation_revenue"] = """
     WHERE r_name = 'ASIA'
     GROUP BY n_name
 """
+ORACLES["a11_rollup"] = """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS lvl
+    FROM documents GROUP BY ROLLUP(lang, source)
+"""
+ORACLES["a13_pivot_counts"] = """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+"""
 ORACLES["u1_union_except"] = """
     SELECT k FROM (
       SELECT c_custkey AS k FROM customer
@@ -431,6 +487,9 @@ ORACLES["f5_format_string"] = """
 """
 
 QUERIES = {
+    "a11_rollup": a11_rollup,
+    "a12_approx_distinct": a12_approx_distinct,
+    "a13_pivot_counts": a13_pivot_counts,
     "j3_shipping_priority": j3_shipping_priority,
     "j5_nation_revenue": j5_nation_revenue,
     "u1_union_except": u1_union_except,
