@@ -24,19 +24,10 @@ import numpy as np
 import pandas as pd
 
 from deed_ocr_spark.kernels.html import strip_html_boilerplate
-from deed_ocr_spark.kernels.legal import (
-    PATTERNS,
-    extract_with_regex,
-    find_descriptions_in_pages,
-    merge_final_lists,
-)
+from deed_ocr_spark.kernels.legal import doc_legal_summary
 from deed_ocr_spark.kernels.ocr import ocr_region_text
 from deed_ocr_spark.kernels.pdfblocks import segment_pdf_blocks
-from deed_ocr_spark.kernels.textops import (
-    clean_watermarks_series,
-    ordered_dedup,
-    page_concat,
-)
+from deed_ocr_spark.kernels.textops import clean_watermarks_series, page_concat
 
 # Output span schema — the north_rule tuple plus provenance (src_kind feeds
 # the state-table metrics; status is the per-row error channel; the
@@ -158,22 +149,7 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("order")
         pages = g.loc[g["kind"] == "text", "text"].tolist()
         combined = page_concat(pages)
-        page_descs = find_descriptions_in_pages(pages)
-        pages_ld: List[str] = []
-        for d in page_descs:
-            if d.text and d.text not in pages_ld:
-                pages_ld.append(d.text)
-        fulldoc_ld = [m[0] for m in extract_with_regex(combined)]
-        legal = ordered_dedup(merge_final_lists(fulldoc_ld, pages_ld))
-        trs_pat = PATTERNS["section_township_range"]
-        pages_trs: List[str] = []
-        for text in pages:
-            for m in trs_pat.finditer(text):
-                v = m.group(0)
-                if v and v not in pages_trs:
-                    pages_trs.append(v)
-        fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
-        trs = ordered_dedup(merge_final_lists(pages_trs, fulldoc_trs))
+        summary = doc_legal_summary(pages, combined)
         recs.append(
             (
                 doc_id,
@@ -181,8 +157,8 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
                 int(len(g)),
                 int((g["kind"] == "media_ref").sum()),
                 len(combined),
-                legal,
-                trs,
+                summary["legal_description_block"],
+                summary["trs"],
             )
         )
     return pd.DataFrame(

@@ -12,12 +12,7 @@ from __future__ import annotations
 from typing import Dict, List, Sequence, Tuple
 
 from deed_ocr_spark.kernels.html import strip_html_boilerplate
-from deed_ocr_spark.kernels.legal import (
-    extract_with_regex,
-    find_descriptions_in_pages,
-    merge_final_lists,
-    PATTERNS,
-)
+from deed_ocr_spark.kernels.legal import doc_legal_summary
 from deed_ocr_spark.kernels.ocr import ocr_region_text
 from deed_ocr_spark.kernels.pdfblocks import segment_pdf_blocks
 from deed_ocr_spark.kernels.textops import clean_watermarks, ordered_dedup, page_concat
@@ -72,35 +67,13 @@ def doc_summary(spans: Sequence[Dict]) -> Dict:
     out_spans = extract_doc(spans)
     pages = [text for _, kind, text, _, _ in out_spans if kind == "text"]
     combined = page_concat(pages)
-
-    # Per-page extraction (dedup by confidence + similarity, llm.py:167-193)
-    page_descs = find_descriptions_in_pages(pages)
-    pages_ld: List[str] = []
-    for d in page_descs:  # collect-with-dedup, workflow.py:501-509
-        if d.text and d.text not in pages_ld:
-            pages_ld.append(d.text)
-
-    # Full-doc pass over combined text
-    fulldoc_ld = [m[0] for m in extract_with_regex(combined)]
-    legal = ordered_dedup(merge_final_lists(fulldoc_ld, pages_ld))
-
-    # TRS merge is page-first (workflow.py:565-588 asymmetry)
-    trs_pat = PATTERNS["section_township_range"]
-    pages_trs: List[str] = []
-    for text in pages:
-        for m in trs_pat.finditer(text):
-            v = m.group(0)
-            if v and v not in pages_trs:
-                pages_trs.append(v)
-    fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
-    trs = ordered_dedup(merge_final_lists(pages_trs, fulldoc_trs))
-
+    summary = doc_legal_summary(pages, combined)
     n_media = sum(1 for s in out_spans if s[1] == "media_ref")
     return {
         "n_pages": len(pages),
         "n_spans": len(out_spans),
         "n_media": n_media,
         "combined_chars": len(combined),
-        "legal_description_block": legal,
-        "trs": trs,
+        "legal_description_block": summary["legal_description_block"],
+        "trs": summary["trs"],
     }

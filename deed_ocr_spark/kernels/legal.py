@@ -145,6 +145,37 @@ def find_descriptions_in_pages(page_texts: Sequence[str]) -> List[Description]:
     return dedup_descriptions(all_desc)
 
 
+def doc_legal_summary(pages: Sequence[str], combined: str) -> Dict[str, List[str]]:
+    """Per-document legal-description + TRS result over extracted pages.
+
+    The reference's two-pass merge (workflow.py:484-598 + ordered-dedup
+    sweep :737-756): per-page extraction with confidence/similarity dedup,
+    a full-document pass over the combined text, full-doc-first merge for
+    legal descriptions, page-first merge for TRS. Shared by the golden
+    executor and the Spark kernel so the two cannot drift.
+    """
+    from deed_ocr_spark.kernels.textops import ordered_dedup
+
+    page_descs = find_descriptions_in_pages(pages)
+    pages_ld: List[str] = []
+    for d in page_descs:  # collect-with-dedup, workflow.py:501-509
+        if d.text and d.text not in pages_ld:
+            pages_ld.append(d.text)
+    fulldoc_ld = [m[0] for m in extract_with_regex(combined)]
+    legal = ordered_dedup(merge_final_lists(fulldoc_ld, pages_ld))
+
+    trs_pat = PATTERNS["section_township_range"]
+    pages_trs: List[str] = []
+    for text in pages:
+        for m in trs_pat.finditer(text):
+            v = m.group(0)
+            if v and v not in pages_trs:
+                pages_trs.append(v)
+    fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
+    trs = ordered_dedup(merge_final_lists(pages_trs, fulldoc_trs))
+    return {"legal_description_block": legal, "trs": trs}
+
+
 def merge_final_lists(
     fulldoc_values: Sequence[str], page_values: Sequence[str]
 ) -> List[str]:
