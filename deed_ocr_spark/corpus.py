@@ -229,7 +229,9 @@ def gen_doc(doc_id: str, seed: int = 42) -> Dict:
 
 
 def doc_id_for(i: int) -> str:
-    return f"doc-{i:09d}"
+    # 13 digits keeps doc_id lexicographically sortable through the
+    # nominal 10^12-document corpus
+    return f"doc-{i:013d}"
 
 
 def gen_docs_pandas(indices, seed: int = 42) -> pd.DataFrame:

@@ -15,7 +15,7 @@ from deed_ocr_spark.kernels.html import strip_html_boilerplate
 from deed_ocr_spark.kernels.legal import doc_legal_summary
 from deed_ocr_spark.kernels.ocr import ocr_region_text
 from deed_ocr_spark.kernels.pdfblocks import segment_pdf_blocks
-from deed_ocr_spark.kernels.textops import clean_watermarks, ordered_dedup, page_concat
+from deed_ocr_spark.kernels.textops import clean_watermarks, page_concat
 
 # (order, kind, text, media_ref, src_kind)
 OutSpan = Tuple[int, str, str, str, str]
