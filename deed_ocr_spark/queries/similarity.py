@@ -210,8 +210,35 @@ def e5_ivf_ann_topk(
     )
 
 
+# --- E6: embedding-cosine near-duplicate pairs (dedup family) ----------------
+# LSH buckets bound the candidate set; pairs above the cosine threshold are
+# duplicates. Same equi-join-on-bucket discipline — at 10^9 vectors this is
+# the only tractable shape (brute force is O(n²)). Rows-only: float
+# thresholds aren't oracle-stable, and correctness is anchored by e1/e2.
+def e6_embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    b = e2_lsh_buckets(spark, sf_dir)
+    v = e.join(b, "vec_id").select("vec_id", "bucket", "embedding")
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), "bucket", F.col("embedding").alias("va")
+    )
+    pairs = a.join(v, "bucket").filter(F.col("vec_a") < F.col("vec_id"))
+    cos = _dot(F.col("va"), F.col("embedding")) / (
+        _norm(F.col("va")) * _norm(F.col("embedding"))
+    )
+    return (
+        pairs.select("vec_a", F.col("vec_id").alias("vec_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+        .distinct()
+    )
+
+
 QUERIES = {
     "e1_cosine_topk": e1_cosine_topk,
+    "e6_embedding_neardup": e6_embedding_neardup,
     "e2_lsh_buckets": e2_lsh_buckets,
     "e3_embedding_stats": e3_embedding_stats,
     "e4_lsh_ann_topk": e4_lsh_ann_topk,
