@@ -251,6 +251,19 @@ def j5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F8: lenient JSON parsing (ocr/gemini_ocr.py:160-196 analog) ------------
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column; malformed/missing keys become NULL
+    (the lenient-parse discipline — nulls, never exceptions)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_present"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- engine extras beyond the reference: rollup, pivot, approx-distinct -----
 def a11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS / ROLLUP over (lang, source) — subtotal rows carry
@@ -453,6 +466,13 @@ ORACLES["j5_nation_revenue"] = """
     WHERE r_name = 'ASIA'
     GROUP BY n_name
 """
+ORACLES["f8_json_extract"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
+           count(*) AS n
+    FROM events GROUP BY event_type
+"""
 ORACLES["a11_rollup"] = """
     SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -487,6 +507,7 @@ ORACLES["f5_format_string"] = """
 """
 
 QUERIES = {
+    "f8_json_extract": f8_json_extract,
     "a11_rollup": a11_rollup,
     "a12_approx_distinct": a12_approx_distinct,
     "a13_pivot_counts": a13_pivot_counts,
