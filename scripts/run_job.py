@@ -39,6 +39,14 @@ def main(argv=None):
         help="also write per-document summaries (legal descriptions, TRS, "
         "metrics — the reference's final_result analog) to this dir",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="incremental mode: treat --input as a streaming file source; "
+        "process all currently-available files (availableNow) with a "
+        "streaming checkpoint at <state>/stream_ckpt, then exit. Re-running "
+        "picks up only new files.",
+    )
     args = p.parse_args(argv)
 
     if not args.input and not args.gen_docs:
@@ -52,6 +60,25 @@ def main(argv=None):
     spark = SparkSession.builder.appName(f"deed-ocr-extract-{args.run_id}").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
+    if args.stream:
+        if not args.input:
+            p.error("--stream requires --input")
+        from deed_ocr_spark.streaming import run_stream
+
+        t0 = time.time()
+        q = run_stream(
+            spark, args.input, args.out, f"{args.state}/stream_ckpt",
+            available_now=True,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"STREAM_DONE run_id={args.run_id} total_spans={n} "
+            f"wall_sec={time.time() - t0:.2f}"
+        )
+        spark.stop()
+        return 0
 
     if args.gen_docs:
         df = corpus_df(spark, args.gen_docs, seed=args.seed, n_partitions=args.partitions)
