@@ -61,6 +61,23 @@ def d2_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D2b: BPE-ish token counting (GPT-2-style pre-tokenizer pattern) ---------
+# Counts the pre-tokenization segments a byte-pair encoder would see:
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs.
+# \p{L}/\p{N} behave identically in Java regex and RE2 (verified 0
+# mismatches over the corpus).
+BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def d11_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_PAT)).cast("bigint").alias("n_bpe_tokens"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
 # --- D3: language-ID heuristic (stopword-hit ratio) ------------------------
 def d3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
@@ -274,7 +291,15 @@ _BAND_PAIRS_SQL = f"""
     FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
+_BPE_SQL = BPE_PAT.replace("'", "''")
+
 ORACLES = {
+    "d11_bpe_token_count": rf"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+        FROM documents
+    """,
     "d1_dedup_exact": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_copies
         FROM documents GROUP BY 1
@@ -377,6 +402,7 @@ def d10_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "d11_bpe_token_count": d11_bpe_token_count,
     "d10_minhash_fast_pairs": d10_minhash_fast_pairs,
     "d1_dedup_exact": d1_dedup_exact,
     "d2_token_count": d2_token_count,
