@@ -372,6 +372,53 @@ ORACLES = {
     """,
 }
 
+# --- D12/D13: rolling-hash winnowing fingerprints (rows-only) ----------------
+# Schleimer et al. 2003 local fingerprinting: any shared substring of
+# length >= k+w-1 between two documents yields a shared fingerprint, so the
+# pair query below has guaranteed recall for long verbatim overlaps —
+# stronger than MinHash for contamination/plagiarism-style dedup. Kernel is
+# numpy-vectorized (kernels/fingerprint.py), applied via mapInPandas.
+WINNOW_DDL = "doc_id bigint, fp bigint, pos int"
+
+
+def d12_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from deed_ocr_spark.kernels.fingerprint import winnow
+
+    d = _docs_rebalanced(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for h, p in winnow(text or ""):
+                    rows.append((doc_id, h, p))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "fp", "pos"]).astype(
+                    {"doc_id": "int64", "fp": "int64", "pos": "int32"}
+                )
+
+    return d.mapInPandas(kernel, WINNOW_DDL)
+
+
+def d13_winnow_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_shared: int = 5
+) -> DataFrame:
+    fps = d12_winnow_fingerprints(spark, sf_dir).select("doc_id", "fp").distinct()
+    a = fps.withColumnRenamed("doc_id", "doc_a")
+    b = fps.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 # --- D10: production-path MinHash (rows-only) --------------------------------
 # The oracle-backed d8/d9 use md5 strings for DuckDB portability; at scale
 # the signature should be 64-bit ints through xxhash64 (hash-aggregable
@@ -402,6 +449,8 @@ def d10_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "d12_winnow_fingerprints": d12_winnow_fingerprints,
+    "d13_winnow_dup_pairs": d13_winnow_dup_pairs,
     "d11_bpe_token_count": d11_bpe_token_count,
     "d10_minhash_fast_pairs": d10_minhash_fast_pairs,
     "d1_dedup_exact": d1_dedup_exact,
