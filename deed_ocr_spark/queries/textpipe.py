@@ -381,7 +381,12 @@ ORACLES = {
 WINNOW_DDL = "doc_id bigint, fp bigint, pos int"
 
 
-def d12_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d12_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 16, w: int = 8
+) -> DataFrame:
+    # k=16/w=8 ⇒ shared-substring guarantee at 23 chars (~4 words): short
+    # incidental overlaps (ubiquitous in a small-vocabulary corpus) don't
+    # fingerprint, long verbatim passages always do.
     import pandas as pd
 
     from deed_ocr_spark.kernels.fingerprint import winnow
@@ -394,7 +399,7 @@ def d12_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for h, p in winnow(text or ""):
+                for h, p in winnow(text or "", k=k, w=w):
                     rows.append((doc_id, h, p))
             if rows:
                 yield pd.DataFrame(rows, columns=["doc_id", "fp", "pos"]).astype(
