@@ -42,10 +42,20 @@ DOC_SUMMARY_DDL = (
     "legal_description_block array<string>, trs array<string>"
 )
 
+def _fault_span(text: str) -> str:
+    """Deterministic fault injection: a span of kind ``fault`` raises with
+    its own text as the exception message. The corpus never emits this kind;
+    tests use it to exercise the per-row error channel and the ledger's
+    retry escalation through a *real* Spark job (the analog of the
+    reference's mocked API failures, test/test_gemini_ocr.py)."""
+    raise RuntimeError(text)
+
+
 _KIND_FN = {
     "html": strip_html_boilerplate,
     "pdf_page": segment_pdf_blocks,
     "ocr_region": ocr_region_text,
+    "fault": _fault_span,
 }
 
 
@@ -82,15 +92,18 @@ def _safe(fn):
     """Per-row error channel (SURVEY §4.2): kernels never raise across the
     Arrow boundary — a failing span becomes an empty text span tagged with
     the reference's error taxonomy (workflow.py:269-282 keep-going
-    discipline; taxonomy workflow.py:65-110), and the job continues."""
+    discipline), and the job continues. Per-span extraction is the analog
+    of the reference's per-page engine call, so the classification uses the
+    engine-variant ladder (ocr/gemini_ocr.py:66-101 — the full taxonomy
+    incl. content_filter/invalid_argument), not the coarser workflow one."""
 
     def wrapped(text):
         try:
             return fn(text), "ok"
         except Exception as exc:  # noqa: BLE001 — the channel IS the handler
-            from deed_ocr_spark.kernels.mergeops import classify_error
+            from deed_ocr_spark.kernels.mergeops import classify_error_gemini
 
-            return "", classify_error(str(exc))[0]
+            return "", classify_error_gemini(str(exc))[0]
 
     return wrapped
 

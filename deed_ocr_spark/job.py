@@ -68,7 +68,12 @@ def extract_summaries(df: DataFrame, n_partitions: int = 0) -> DataFrame:
 def partition_metrics(spans_out: DataFrame) -> DataFrame:
     """Per-bucket extraction metrics for the state table — the analog of
     the reference's token/page counters (workflow.py:189-193,
-    retry_helper.py:25-34): pages parsed, spans emitted, OCR regions."""
+    retry_helper.py:25-34): pages parsed, spans emitted, OCR regions.
+    ``retryable_errors`` mirrors the reference's per-PDF
+    ``retry_needed = any(retry_recommended)`` (workflow.py:297-302)."""
+    from deed_ocr_spark.kernels.mergeops import RETRYABLE
+
+    retryable_kinds = sorted(k for k, v in RETRYABLE.items() if v)
     return spans_out.groupBy("part_bucket").agg(
         F.countDistinct("doc_id").alias("docs"),
         F.count(F.lit(1)).alias("spans_emitted"),
@@ -79,6 +84,9 @@ def partition_metrics(spans_out: DataFrame) -> DataFrame:
             "ocr_regions"
         ),
         F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("span_errors"),
+        F.sum(F.when(F.col("status").isin(retryable_kinds), 1).otherwise(0)).alias(
+            "retryable_errors"
+        ),
         # a representative non-ok status for the bucket, '' when clean
         # (deterministic lexicographic max — P9 ledger analog)
         F.coalesce(

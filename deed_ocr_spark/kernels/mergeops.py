@@ -59,8 +59,12 @@ def dedup_sweep(result: Dict[str, Any]) -> Dict[str, Any]:
 
 # (category, retryable) ladder; substring checks over the lowercased error
 # text, in the reference's exact evaluation order (workflow.py:86-107).
-# The engine-local variants (ocr/gemini_ocr.py:48-101 etc.) add
-# content_filter / invalid_argument categories; this is the workflow one.
+# This is the workflow variant; the engine variant below
+# (classify_error_gemini) carries the extra categories from
+# ocr/gemini_ocr.py:48-101. Union of the two = the full 10+-category
+# taxonomy: timeout, rate_limit, network, authentication, not_found,
+# model_not_found, server_error, json_parsing, content_filter,
+# invalid_argument, unknown.
 _ERROR_LADDER: List[Tuple[Tuple[str, ...], str, bool]] = [
     (("timeout", "timed out"), "timeout", True),
     (("rate limit", "quota"), "rate_limit", True),
@@ -79,4 +83,57 @@ def classify_error(message: str) -> Tuple[str, bool]:
             return kind, retry
     if "json" in lower and "parse" in lower:
         return "json_parsing", True
+    return "unknown", True
+
+
+# category → retryable, the union of both ladders (workflow.py:86-107 +
+# gemini_ocr.py:66-101). The state ledger consults this to decide whether a
+# bucket with errors is worth re-running (retry_helper.py:224-349 analog).
+RETRYABLE: Dict[str, bool] = {
+    "timeout": True,
+    "rate_limit": True,
+    "network": True,
+    "authentication": False,
+    "not_found": False,
+    "model_not_found": False,
+    "server_error": True,
+    "json_parsing": True,
+    "content_filter": False,
+    "invalid_argument": False,
+    "unknown": True,
+}
+
+
+def classify_error_gemini(message: str) -> Tuple[str, bool]:
+    """Engine-variant taxonomy, parity with ocr/gemini_ocr.py:66-101.
+
+    Differences from the workflow ladder (same evaluation order as the
+    reference's elif chain): rate_limit also matches ``resource_exhausted``;
+    authentication matches the bare ``api key``; a not-found whose text
+    mentions ``model`` becomes ``model_not_found``; server_error also
+    matches ``internal_error``; json_parsing needs json + (parse|decode);
+    plus the two engine-only categories ``content_filter`` (not retryable)
+    and ``invalid_argument`` (not retryable). Unknown defaults to retry.
+    """
+    lower = (message or "").lower()
+    if "timeout" in lower or "timed out" in lower:
+        return "timeout", True
+    if "rate limit" in lower or "quota" in lower or "resource_exhausted" in lower:
+        return "rate_limit", True
+    if "network" in lower or "connection" in lower or "unreachable" in lower:
+        return "network", True
+    if "api key" in lower or "authentication" in lower or "unauthorized" in lower:
+        return "authentication", False
+    if "not found" in lower or "404" in lower:
+        if "model" in lower:
+            return "model_not_found", False
+        return "not_found", False
+    if "internal server error" in lower or "500" in lower or "internal_error" in lower:
+        return "server_error", True
+    if "json" in lower and ("parse" in lower or "decode" in lower):
+        return "json_parsing", True
+    if "content_filter" in lower or "safety" in lower:
+        return "content_filter", False
+    if "invalid_argument" in lower:
+        return "invalid_argument", False
     return "unknown", True

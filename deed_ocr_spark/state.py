@@ -1,9 +1,10 @@
-"""Checkpoint/state table with exactly-once resume semantics.
+"""Checkpoint/state table with exactly-once resume and retry escalation.
 
 Models the reference's retry ledger (error_summary.json written at
 /root/reference/deed_ocr/workflow.py:371-385, scanned by
-utils/retry_helper.py:15-111, resume candidates at :186-222) as a table —
-the canonical Spark idiom (SURVEY.md §2.8):
+utils/retry_helper.py:15-111, resume candidates at :186-222, escalated
+retries with max_retries/delay at :224-349) as a table — the canonical
+Spark idiom (SURVEY.md §2.8):
 
 * the input is bucketed by ``pmod(xxhash64(doc_id), n_buckets)`` — a pure
   function of doc_id, so buckets are stable across runs;
@@ -12,8 +13,14 @@ the canonical Spark idiom (SURVEY.md §2.8):
   files (kernels are pure ⇒ idempotent), never duplicates;
 * the state table commits AFTER the data write (data-before-state
   ordering ⇒ a crash between the two re-runs the bucket, which is safe);
-* resume = left_anti join of input buckets against ``status='done'`` state
-  rows (J4 in SURVEY §2.3) — finished buckets are never recomputed.
+* resume consults the LATEST ledger row per bucket: ``done`` and
+  ``failed`` are terminal, ``needs_retry`` re-runs with an incremented
+  attempt counter; a bucket whose errors are all non-retryable, or whose
+  attempts reach ``max_attempts``, lands in ``failed`` instead of looping
+  forever (retry_helper.py:224-349 escalation semantics);
+* ``n_buckets`` is persisted in every ledger row — resuming with a
+  different bucketing against the same state dir fails fast instead of
+  silently duplicating documents under a new partitioning.
 
 Storage is parquet here (the sandbox has no Iceberg catalog jars); the
 layout and commit protocol are Iceberg-shaped: swapping the writes to
@@ -26,16 +33,24 @@ import os
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from deed_ocr_spark import __version__
 from deed_ocr_spark.job import extract_spans, partition_metrics, with_partition_bucket
 
 STATE_SCHEMA_DDL = (
-    "run_id string, part_bucket int, status string, docs bigint, "
+    "run_id string, part_bucket int, status string, attempts int, docs bigint, "
     "spans_emitted bigint, pages_parsed bigint, ocr_regions bigint, "
-    "span_errors bigint, error_kind string, lineage string, committed_at double"
+    "span_errors bigint, retryable_errors bigint, error_kind string, "
+    "n_buckets int, lineage string, committed_at double"
 )
+
+_STATE_COLUMNS = [f.split()[0] for f in STATE_SCHEMA_DDL.split(", ")]
+
+# Reference escalation ceiling: utils/retry_helper.py:224-349 retries a
+# failed PDF with max_retries=5 before giving up.
+MAX_ATTEMPTS = 5
 
 
 def read_state(spark: SparkSession, state_dir: str) -> Optional[DataFrame]:
@@ -46,15 +61,49 @@ def read_state(spark: SparkSession, state_dir: str) -> Optional[DataFrame]:
         return None
     try:
         return spark.read.parquet(state_dir)
-    except Exception:
-        return None  # first run: no ledger yet
+    except AnalysisException as exc:
+        # Only a genuinely-missing ledger means "first run". Any other
+        # analysis/IO error (corrupt files, permissions, unreadable schema)
+        # must propagate: treating it as first-run would silently re-run
+        # every bucket and append a duplicate ledger generation.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def latest_state(state: DataFrame) -> DataFrame:
+    """One row per bucket: the highest-attempt (latest) ledger entry.
+    ``attempts`` is monotone per bucket across runs, so it orders history
+    without relying on wall-clock timestamps."""
+    w = Window.partitionBy("part_bucket").orderBy(
+        F.col("attempts").desc(), F.col("committed_at").desc()
+    )
+    return state.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
 
 
 def done_buckets(spark: SparkSession, state_dir: str) -> Optional[DataFrame]:
     state = read_state(spark, state_dir)
     if state is None:
         return None
-    return state.filter(F.col("status") == "done").select("part_bucket").distinct()
+    return (
+        latest_state(state)
+        .filter(F.col("status") == "done")
+        .select("part_bucket")
+        .distinct()
+    )
+
+
+def _check_n_buckets(state: DataFrame, state_dir: str, n_buckets: int) -> None:
+    ledger = [r["n_buckets"] for r in state.select("n_buckets").distinct().collect()]
+    if ledger and set(ledger) != {n_buckets}:
+        raise ValueError(
+            f"state ledger at {state_dir} was written with "
+            f"n_buckets={sorted(set(ledger))} but this run requested "
+            f"n_buckets={n_buckets}; resuming under a different bucketing "
+            "would duplicate documents — use the ledger's value or a fresh "
+            "state/out location"
+        )
 
 
 def run_extraction_job(
@@ -67,6 +116,7 @@ def run_extraction_job(
     n_partitions: int = 0,
     lineage: str = "",
     only_buckets: Optional[list] = None,
+    max_attempts: int = MAX_ATTEMPTS,
 ) -> dict:
     """Run (or resume) the extraction job. Returns job counters.
 
@@ -76,16 +126,27 @@ def run_extraction_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = with_partition_bucket(input_df.select("doc_id", "spans"), n_buckets)
 
-    # Pending = all buckets minus the ledger's done set. The done set is
-    # tiny (≤ n_buckets rows) so it collects to the driver; the input-side
-    # restriction stays a broadcast anti-join (never a collect of doc ids).
-    done = done_buckets(spark, state_dir)
-    done_ids = set() if done is None else {r["part_bucket"] for r in done.collect()}
-    pending_ids = [
-        b
-        for b in range(n_buckets)
-        if b not in done_ids and (only_buckets is None or b in only_buckets)
-    ]
+    # Pending = buckets with no terminal ledger row. The ledger is tiny
+    # (≤ a few rows per bucket) so the latest-row resolution collects to the
+    # driver; the input-side restriction stays a partition filter (never a
+    # collect of doc ids).
+    state = read_state(spark, state_dir)
+    prev = {}
+    if state is not None:
+        _check_n_buckets(state, state_dir, n_buckets)
+        prev = {r["part_bucket"]: r for r in latest_state(state).collect()}
+    pending_ids, attempt_of = [], {}
+    for b in range(n_buckets):
+        if only_buckets is not None and b not in only_buckets:
+            continue
+        row = prev.get(b)
+        if row is None:
+            pending_ids.append(b)
+            attempt_of[b] = 1
+        elif row["status"] == "needs_retry":
+            pending_ids.append(b)
+            attempt_of[b] = row["attempts"] + 1
+        # 'done' and 'failed' are terminal: never re-scheduled
     if not pending_ids:
         return _job_counters(spark, state_dir)
     pending = bucketed.filter(F.col("part_bucket").isin(pending_ids))
@@ -101,57 +162,74 @@ def run_extraction_job(
 
     # 2) state commit (after data): per-bucket metrics ledger. The re-read
     # is partition-PRUNED to the buckets this run wrote (at 100 TB a full
-    # output re-scan here would dwarf the job); buckets that held no
-    # documents still get a done row so resume never re-schedules them.
+    # output re-scan here would dwarf the job; a pruned one is O(this run's
+    # output) — df.observe() can't replace it because the ledger needs
+    # per-bucket metrics, not global ones); buckets that held no documents
+    # still get a done row so resume never re-schedules them.
     written = spark.read.parquet(out_dir).filter(
         F.col("part_bucket").isin(pending_ids)
     )
-    pending_df = spark.createDataFrame(
-        [(b,) for b in pending_ids], "part_bucket int"
+    attempts_df = spark.createDataFrame(
+        [(b, attempt_of[b]) for b in pending_ids], "part_bucket int, attempts int"
+    )
+    # Status ladder (retry_helper.py:224-349): clean → done; errors but
+    # nothing retryable → failed; retryable errors with attempts left →
+    # needs_retry; escalation exhausted → failed. Data is written in every
+    # case (keep-going discipline) — status only governs re-scheduling.
+    status = (
+        F.when(F.col("span_errors") == 0, "done")
+        .when(F.col("retryable_errors") == 0, "failed")
+        .when(F.col("attempts") >= max_attempts, "failed")
+        .otherwise("needs_retry")
     )
     metrics = (
-        pending_df.join(partition_metrics(written), "part_bucket", "left")
-        .fillna(0, ["docs", "spans_emitted", "pages_parsed", "ocr_regions", "span_errors"])
+        attempts_df.join(partition_metrics(written), "part_bucket", "left")
+        .fillna(
+            0,
+            [
+                "docs",
+                "spans_emitted",
+                "pages_parsed",
+                "ocr_regions",
+                "span_errors",
+                "retryable_errors",
+            ],
+        )
         .fillna("", ["error_kind"])
         .withColumns(
             {
                 "run_id": F.lit(run_id),
-                "status": F.lit("done"),
+                "status": status,
+                "n_buckets": F.lit(n_buckets),
                 "lineage": F.lit(lineage or f"code={__version__}"),
                 "committed_at": F.lit(time.time()),
             }
         )
     )
-    metrics.select(
-        "run_id",
-        "part_bucket",
-        "status",
-        "docs",
-        "spans_emitted",
-        "pages_parsed",
-        "ocr_regions",
-        "span_errors",
-        "error_kind",
-        "lineage",
-        "committed_at",
-    ).write.mode("append").parquet(state_dir)
+    metrics.select(*_STATE_COLUMNS).write.mode("append").parquet(state_dir)
 
     return _job_counters(spark, state_dir)
 
 
 def _job_counters(spark: SparkSession, state_dir: str) -> dict:
-    state = spark.read.parquet(state_dir)
-    row = (
-        state.filter(F.col("status") == "done")
-        .agg(
-            F.countDistinct("part_bucket").alias("buckets_done"),
-            F.sum("docs").alias("docs"),
-            F.sum("spans_emitted").alias("spans"),
-        )
-        .collect()[0]
-    )
+    # Counters over the LATEST row per bucket only — retried buckets appear
+    # multiple times in the append-only ledger and must not double-count.
+    latest = latest_state(spark.read.parquet(state_dir))
+    row = latest.agg(
+        F.sum(F.when(F.col("status") == "done", 1).otherwise(0)).alias("buckets_done"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
+            "buckets_failed"
+        ),
+        F.sum(F.when(F.col("status") == "needs_retry", 1).otherwise(0)).alias(
+            "buckets_retrying"
+        ),
+        F.sum("docs").alias("docs"),
+        F.sum("spans_emitted").alias("spans"),
+    ).collect()[0]
     return {
-        "buckets_done": row["buckets_done"],
+        "buckets_done": row["buckets_done"] or 0,
+        "buckets_failed": row["buckets_failed"] or 0,
+        "buckets_retrying": row["buckets_retrying"] or 0,
         "docs": row["docs"],
         "spans": row["spans"],
     }

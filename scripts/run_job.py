@@ -32,7 +32,12 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="output spans table dir")
     p.add_argument("--state", required=True, help="state/checkpoint table dir")
     p.add_argument("--run-id", required=True)
-    p.add_argument("--buckets", type=int, default=64)
+    # default matches run_extraction_job's; the ledger persists n_buckets
+    # and fails fast on a mismatched resume either way
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--max-attempts", type=int, default=5,
+                   help="retry escalation ceiling per bucket (reference "
+                   "retry_helper max_retries=5)")
     p.add_argument("--partitions", type=int, default=0)
     p.add_argument(
         "--summaries-out",
@@ -102,11 +107,13 @@ def main(argv=None):
         n_buckets=args.buckets,
         n_partitions=args.partitions,
         lineage=f"input={args.input or f'gen:{args.gen_docs}@seed{args.seed}'}",
+        max_attempts=args.max_attempts,
     )
     dt = time.time() - t0
     docs = stats["docs"] or 0
     print(
         f"EXTRACT_DONE run_id={args.run_id} buckets={stats['buckets_done']} "
+        f"failed={stats['buckets_failed']} retrying={stats['buckets_retrying']} "
         f"docs={docs} spans={stats['spans']} wall_sec={dt:.2f} "
         f"docs_per_sec={docs / dt:.1f}"
     )

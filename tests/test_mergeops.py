@@ -1,6 +1,11 @@
 """Unit tests for the A3/A7/P9 merge kernels (reference-exact semantics)."""
 
-from deed_ocr_spark.kernels.mergeops import classify_error, dedup_sweep, merge_details
+from deed_ocr_spark.kernels.mergeops import (
+    classify_error,
+    classify_error_gemini,
+    dedup_sweep,
+    merge_details,
+)
 
 
 def test_merge_details_conflict_rename():
@@ -62,3 +67,36 @@ def test_classify_error_reference_ladder():
     assert classify_error("something odd") == ("unknown", True)
     # ladder order: "connection timeout" hits timeout before network
     assert classify_error("connection timeout")[0] == "timeout"
+
+
+def test_classify_error_gemini_full_taxonomy():
+    # ocr/gemini_ocr.py:66-101: all 11 categories, exact elif order + flags
+    assert classify_error_gemini("Read timed out") == ("timeout", True)
+    assert classify_error_gemini("RESOURCE_EXHAUSTED") == ("rate_limit", True)
+    assert classify_error_gemini("connection reset") == ("network", True)
+    assert classify_error_gemini("bad api key") == ("authentication", False)
+    assert classify_error_gemini("endpoint not found") == ("not_found", False)
+    # not-found mentioning model escalates to model_not_found (gemini_ocr.py:84-85)
+    assert classify_error_gemini("model gemini-x not found") == (
+        "model_not_found",
+        False,
+    )
+    assert classify_error_gemini("INTERNAL_ERROR occurred") == ("server_error", True)
+    assert classify_error_gemini("failed to decode json body") == ("json_parsing", True)
+    # json without parse/decode does NOT classify (needs both needles)
+    assert classify_error_gemini("json body too large") == ("unknown", True)
+    assert classify_error_gemini("blocked by safety settings") == (
+        "content_filter",
+        False,
+    )
+    assert classify_error_gemini("CONTENT_FILTER triggered") == (
+        "content_filter",
+        False,
+    )
+    assert classify_error_gemini("INVALID_ARGUMENT: bad mime") == (
+        "invalid_argument",
+        False,
+    )
+    assert classify_error_gemini("mystery") == ("unknown", True)
+    # order: authentication ("api key") checked before not_found
+    assert classify_error_gemini("api key not found")[0] == "authentication"
