@@ -36,8 +36,11 @@ BENCH_QUERIES = [
     "w2_topk_per_group",
     "d1_dedup_exact",
     "d6_simhash",
+    "d6b_simhash_fast",
+    "d7_ngram_jaccard_pairs",
     "d8_minhash_sig",
     "d9_minhash_band_pairs",
+    "d13_winnow_dup_pairs",
     "e1_cosine_topk",
     "p7_watermark_clean",
 ]

@@ -145,6 +145,35 @@ def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+# --- D6b: production SimHash twin (rows-only) --------------------------------
+# Same algorithm as d6, different hash family: xxhash64(token) with bit k
+# extracted by integer shift-and-mask instead of md5-hex substring
+# membership tests. Everything stays in 64-bit int ops inside whole-stage
+# codegen (no string buffers), so the aggregate is a HashAggregate over 16
+# long sums — the form you run at 100 TB. d6 (md5) remains the
+# DuckDB-portable oracle anchor; tests assert the two schemes agree on
+# duplicate detection and Hamming-distance ordering.
+def d6b_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rebalanced(spark, sf_dir)
+    tok = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{k}")
+        for k in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for k in range(16):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
 # --- D8: MinHash signatures over 3-token shingles ---------------------------
 # Shingling (not single tokens) is load-bearing at scale: with a small
 # vocabulary, token-set Jaccard between random docs is high and LSH
@@ -178,8 +207,7 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_rows(spark, sf_dir)
+def _minhash_sig_from(sh: DataFrame) -> DataFrame:
     mins = [
         F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("sh")))).alias(f"mh{i}")
         for i in range(4)
@@ -187,12 +215,15 @@ def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
+def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig_from(_shingle_rows(spark, sf_dir))
+
+
 # --- D9: MinHash LSH band candidates (2 bands × 2 rows) ----------------------
 # Docs sharing a band collide; pairs from band-bucket self-joins, never a
 # cross join. At scale: groupBy(band) with a per-bucket cap would bound
 # fanout; here buckets are tiny.
-def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = d8_minhash_sig(spark, sf_dir)
+def _band_pairs_from(sig: DataFrame) -> DataFrame:
     # one signature pass → explode to (doc_id, band); band id is salted into
     # the hash so band1/band2 buckets never collide with each other
     bands = sig.select(
@@ -216,13 +247,26 @@ def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _band_pairs_from(d8_minhash_sig(spark, sf_dir))
+
+
 # --- D7: n-gram (shingle) Jaccard near-dup pairs over LSH candidates ---------
 # Relational Jaccard: |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
 # Candidates come from d9 (LSH) so no cross join exists anywhere in the plan.
+# The shingle rows feed BOTH the signature/candidate subtree and the
+# intersection join, so they are persisted: without it the full
+# tokenize+explode pass runs twice over the corpus (at 100 TB, the dominant
+# cost). In a production pipeline the signatures would land in their own
+# table; inside a single composed query, MEMORY_AND_DISK persist is the
+# same idea (plan shows InMemoryTableScan on the reused subtree).
 def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _shingle_rows(spark, sf_dir).withColumnRenamed("sh", "tok")
+    from pyspark import StorageLevel
+
+    toks_src = _shingle_rows(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    toks = toks_src.withColumnRenamed("sh", "tok")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cand = d9_minhash_band_pairs(spark, sf_dir)
+    cand = _band_pairs_from(_minhash_sig_from(toks_src))
     shared = (
         cand.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
@@ -374,10 +418,9 @@ ORACLES = {
 
 # --- D12/D13: rolling-hash winnowing fingerprints (rows-only) ----------------
 # Schleimer et al. 2003 local fingerprinting: any shared substring of
-# length >= k+w-1 between two documents yields a shared fingerprint, so the
-# pair query below has guaranteed recall for long verbatim overlaps —
-# stronger than MinHash for contamination/plagiarism-style dedup. Kernel is
-# numpy-vectorized (kernels/fingerprint.py), applied via mapInPandas.
+# length >= k+w-1 between two documents yields >=1 shared fingerprint.
+# Kernel is numpy-vectorized (kernels/fingerprint.py), applied via
+# mapInPandas.
 WINNOW_DDL = "doc_id bigint, fp bigint, pos int"
 
 
@@ -409,12 +452,34 @@ def d12_winnow_fingerprints(
     return d.mapInPandas(kernel, WINNOW_DDL)
 
 
-def d13_winnow_dup_pairs(
-    spark: SparkSession, sf_dir: str, min_shared: int = 5
+def winnow_dup_pairs_from(
+    fps: DataFrame, min_shared: int = 1, max_df: int = 64
 ) -> DataFrame:
-    fps = d12_winnow_fingerprints(spark, sf_dir).select("doc_id", "fp").distinct()
-    a = fps.withColumnRenamed("doc_id", "doc_a")
-    b = fps.withColumnRenamed("doc_id", "doc_b")
+    """Dup pairs from a (doc_id, fp) fingerprint table.
+
+    ``max_df`` is the document-frequency cap (standard winnowing/MOSS
+    practice): a fingerprint shared by F documents contributes F²/2 join
+    rows, so one ubiquitous boilerplate phrase ("IN WITNESS WHEREOF ...")
+    at corpus scale is a guaranteed hot key — fps with df > max_df are
+    dropped BEFORE the self-join, bounding per-key fanout at max_df²/2.
+
+    Recall contract: winnowing guarantees >=1 shared fingerprint per shared
+    substring of length >= k+w-1, so at the default ``min_shared=1`` every
+    long verbatim overlap is recalled — UNLESS its only qualifying windows
+    are corpus boilerplate (df > max_df), which is exactly the content
+    dedup should ignore. Raising min_shared trades that recall for
+    precision.
+    """
+    fps = fps.select("doc_id", "fp").distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    capped = fps.join(rare, "fp")
+    a = capped.withColumnRenamed("doc_id", "doc_a")
+    b = capped.withColumnRenamed("doc_id", "doc_b")
     return (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -422,6 +487,21 @@ def d13_winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def d13_winnow_dup_pairs(
+    spark: SparkSession, sf_dir: str, min_shared: int = 1, max_df: int = 64
+) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # the fingerprint table feeds both the df-count and the self-join —
+    # persist so the mapInPandas winnowing kernel runs once, not twice
+    fps = (
+        d12_winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return winnow_dup_pairs_from(fps, min_shared=min_shared, max_df=max_df)
 
 
 # --- D10: production-path MinHash (rows-only) --------------------------------
@@ -464,6 +544,7 @@ QUERIES = {
     "d4_quality_score": d4_quality_score,
     "d5_fingerprint": d5_fingerprint,
     "d6_simhash": d6_simhash,
+    "d6b_simhash_fast": d6b_simhash_fast,
     "d7_ngram_jaccard_pairs": d7_ngram_jaccard_pairs,
     "d8_minhash_sig": d8_minhash_sig,
     "d9_minhash_band_pairs": d9_minhash_band_pairs,

@@ -57,3 +57,46 @@ def test_spark_winnow_and_pairs(spark):
     rows = pairs.limit(5).collect()
     for r in rows:
         assert r["doc_a"] < r["doc_b"] and r["shared_fps"] >= 3
+
+
+def test_df_cap_bounds_hot_fingerprint(spark):
+    """One boilerplate fingerprint planted in 1,000 docs must be dropped by
+    the document-frequency cap BEFORE the self-join — without it the join
+    materializes ~500k rows from that single key."""
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.queries.textpipe import winnow_dup_pairs_from
+
+    hot = [(i, 777) for i in range(1000)]  # the boilerplate fp, df=1000
+    # a genuine dup pair: two docs sharing one rare fingerprint
+    rare = [(1, 42), (2, 42)]
+    fps = spark.createDataFrame(hot + rare, "doc_id bigint, fp bigint")
+
+    out = winnow_dup_pairs_from(fps, min_shared=1, max_df=64)
+    rows = out.collect()
+    # only the rare-fp pair survives; zero pairs from the hot key
+    assert [(r["doc_a"], r["doc_b"], r["shared_fps"]) for r in rows] == [(1, 2, 1)]
+    # and the cap is structural (the df-count aggregate gates the join
+    # input), not a post-join filter: the plan joins against the rare-fp set
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("join") >= 2  # rare-fp semi gate + self-join
+
+
+def test_winnow_recall_long_verbatim_overlap(spark):
+    """min_shared=1 default: a single >=k+w-1-char verbatim overlap between
+    exactly two docs is always recalled (the winnowing guarantee)."""
+    from deed_ocr_spark.queries.textpipe import winnow_dup_pairs_from
+
+    shared = "xqzv unique verbatim overlap passage jkwy"  # 41 chars > 23
+    docs = [
+        (1, "lead text one " + shared + " tail one"),
+        (2, "other beginning " + shared + " other tail"),
+        (3, "completely unrelated content with nothing in common at all"),
+    ]
+    rows = []
+    for doc_id, text in docs:
+        for h, p in winnow(text, k=16, w=8):
+            rows.append((doc_id, h))
+    fps = spark.createDataFrame(rows, "doc_id bigint, fp bigint")
+    out = winnow_dup_pairs_from(fps, min_shared=1, max_df=64).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
