@@ -137,29 +137,96 @@ ORACLES = {
 }
 
 # --- E4: bucketed ANN (rows-only) — the scale path end-to-end ---------------
-# LSH buckets (e2) → within-bucket pairwise cosine via equi-join on bucket →
-# top-k neighbors per vector by window. No cross join: candidate fanout is
-# bounded by bucket population. This is the shape that replaces brute force
-# at 10^9+ vectors (more planes ⇒ smaller buckets; multiple tables ⇒ recall).
-def e4_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Multi-table sign-LSH: L independent tables of P hyperplanes each.
+# Scale parameterization (the knobs that keep this from degenerating into a
+# cross join in disguise at 10^9 vectors):
+#   * n_planes P ≈ log2(n / target_bucket_size) — bucket count 2^P grows
+#     with the corpus so per-bucket population stays ~constant;
+#   * n_tables L buys recall back (a true neighbor colliding in ANY table
+#     is a candidate): recall ≈ 1-(1-p^P)^L for per-plane agreement p;
+#   * bucket_cap hard-bounds the candidate-side population per (table,
+#     bucket) — the worst-case join fanout is cap² per bucket no matter how
+#     skewed the vector distribution is (the d13 df-cap, vector edition).
+# Hyperplanes are rows of the table itself (vec_id 1..P·L) so every tier
+# reproduces them; in production they'd be k-means± random broadcast
+# constants. e7_ann_recall measures recall@k of THIS query vs brute force.
+def lsh_buckets_multi(
+    e: DataFrame, n_planes: int = 6, n_tables: int = 4
+) -> DataFrame:
+    """(vec_id, tbl, bucket) under L independent sign-LSH tables."""
+    n_tot = n_planes * n_tables
+    planes = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_tot))
+        .select(
+            F.floor((F.col("vec_id") - 1) / n_planes).cast("int").alias("tbl"),
+            ((F.col("vec_id") - 1) % n_planes).cast("int").alias("pl"),
+            F.col("embedding").alias("plane"),
+        )
+    )
+    sign = e.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "tbl",
+        (
+            F.when(_dot(F.col("embedding"), F.col("plane")) > 0, 1).otherwise(0)
+            * F.expr("shiftleft(1, pl)")
+        ).alias("bitval"),
+    )
+    return sign.groupBy("vec_id", "tbl").agg(
+        F.sum("bitval").cast("int").alias("bucket")
+    )
+
+
+def _ann_candidates(
+    e: DataFrame, n_planes: int, n_tables: int, bucket_cap: int
+) -> DataFrame:
+    """(qid, qv, cand, cv) candidate pairs via capped multi-table buckets."""
+    from pyspark.sql.window import Window
+
+    b = lsh_buckets_multi(e, n_planes, n_tables)
+    w_cap = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    capped = (
+        b.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= bucket_cap)
+        .drop("rk")
+    )
+    cand = capped.join(e, "vec_id").select(
+        "tbl", "bucket", F.col("vec_id").alias("cand"), F.col("embedding").alias("cv")
+    )
+    probes = b.join(e, "vec_id").select(
+        "tbl", "bucket", F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return (
+        probes.join(cand, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("cand"))
+        .dropDuplicates(["qid", "cand"])
+        .select("qid", "qv", "cand", "cv")
+    )
+
+
+def e4_lsh_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    topk: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    bucket_cap: int = 256,
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
-    b = e2_lsh_buckets(spark, sf_dir)
-    v = e.join(b, "vec_id").select("vec_id", "bucket", "embedding")
-    a = v.select(
-        F.col("vec_id").alias("qid"), "bucket", F.col("embedding").alias("qv")
-    )
-    pairs = a.join(v, "bucket").filter(F.col("qid") != F.col("vec_id"))
-    cos = _dot(F.col("qv"), F.col("embedding")) / (
-        _norm(F.col("qv")) * _norm(F.col("embedding"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    pairs = _ann_candidates(e, n_planes, n_tables, bucket_cap)
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
     return (
-        pairs.select("qid", "vec_id", cos.alias("cos"))
+        pairs.select("qid", "cand", cos.alias("cos"))
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("qid", F.col("vec_id").alias("neighbor"), F.round("cos", 4).alias("cos_sim"), "rk")
+        .filter(F.col("rk") <= topk)
+        .select(
+            "qid",
+            F.col("cand").alias("neighbor"),
+            F.round("cos", 4).alias("cos_sim"),
+            "rk",
+        )
     )
 
 
@@ -211,28 +278,94 @@ def e5_ivf_ann_topk(
 
 
 # --- E6: embedding-cosine near-duplicate pairs (dedup family) ----------------
-# LSH buckets bound the candidate set; pairs above the cosine threshold are
-# duplicates. Same equi-join-on-bucket discipline — at 10^9 vectors this is
-# the only tractable shape (brute force is O(n²)). Rows-only: float
-# thresholds aren't oracle-stable, and correctness is anchored by e1/e2.
+# Multi-table LSH candidates (capped, see e4) filtered by cosine threshold.
+# The synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51
+# at sf0.01), so a pure scan at threshold 0.8 is vacuously empty; to make
+# the operator's recall OBSERVABLE at every tier, the input is augmented
+# with deterministic planted near-duplicates (every 10th vector, copied to
+# vec_id+1_000_000 with its first coordinate nudged ⇒ cosine ≈0.99+). The
+# query must recover exactly those planted pairs through the full
+# bucket-candidate pipeline — a live end-to-end recall check, not a fixture
+# hidden in tests. ``plant_dups=False`` gives the pure production scan.
 def e6_embedding_neardup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    bucket_cap: int = 256,
+    plant_dups: bool = True,
 ) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
-    b = e2_lsh_buckets(spark, sf_dir)
-    v = e.join(b, "vec_id").select("vec_id", "bucket", "embedding")
-    a = v.select(
-        F.col("vec_id").alias("vec_a"), "bucket", F.col("embedding").alias("va")
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e
+    if plant_dups:
+        planted = e.filter((F.col("vec_id") % 10) == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i == 0, x * 1.2 + 0.05).otherwise(x),
+            ).cast("array<float>").alias("embedding"),
+        )
+        base = e.unionByName(planted)
+    pairs = _ann_candidates(base, n_planes, n_tables, bucket_cap).filter(
+        F.col("qid") < F.col("cand")
     )
-    pairs = a.join(v, "bucket").filter(F.col("vec_a") < F.col("vec_id"))
-    cos = _dot(F.col("va"), F.col("embedding")) / (
-        _norm(F.col("va")) * _norm(F.col("embedding"))
-    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     return (
-        pairs.select("vec_a", F.col("vec_id").alias("vec_b"), cos.alias("cos"))
+        pairs.select(
+            F.col("qid").alias("vec_a"), F.col("cand").alias("vec_b"), cos.alias("cos")
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
-        .distinct()
+    )
+
+
+# --- E7: ANN recall@k vs brute-force ground truth ----------------------------
+# The measurement the scale path is judged by: recall@k of e4's capped
+# multi-table LSH against the exact top-k. Ground truth is an intentional
+# all-pairs cosine (documented cross join — at production scale you sample
+# a few thousand query vectors; n ≤ 2000 here). Defaults are tuned for
+# recall ≥0.8 on near-orthogonal vectors (the HARDEST case for LSH — real
+# embedding corpora are clustered, giving the same recall with far fewer
+# candidates): P=3 planes, L=8 tables. The candidate fraction is reported
+# alongside recall so the selectivity/recall tradeoff is visible.
+def e7_ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    topk: int = 3,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    bucket_cap: int = 512,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    n_vec = e.count()
+    ann = e4_lsh_ann_topk(
+        spark, sf_dir, topk=topk, n_planes=n_planes, n_tables=n_tables,
+        bucket_cap=bucket_cap,
+    ).select("qid", "neighbor")
+
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cv"))
+    gt_pairs = q.crossJoin(c).filter(F.col("qid") != F.col("cand"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
+    gt = (
+        gt_pairs.select("qid", "cand", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", F.col("cand").alias("neighbor"))
+    )
+    hits = gt.join(ann, ["qid", "neighbor"]).count()
+    cands = _ann_candidates(
+        e.select("vec_id", "embedding"), n_planes, n_tables, bucket_cap
+    ).count()
+    recall = hits / float(n_vec * topk)
+    cand_frac = cands / float(n_vec * max(n_vec - 1, 1))
+    return spark.createDataFrame(
+        [(n_vec, topk, round(recall, 4), round(cand_frac, 4))],
+        "n_queries int, topk int, recall double, candidate_fraction double",
     )
 
 
@@ -243,4 +376,5 @@ QUERIES = {
     "e3_embedding_stats": e3_embedding_stats,
     "e4_lsh_ann_topk": e4_lsh_ann_topk,
     "e5_ivf_ann_topk": e5_ivf_ann_topk,
+    "e7_ann_recall": e7_ann_recall,
 }

@@ -37,9 +37,50 @@ def test_planted_duplicates_found(spark, tmp_path):
 
     pairs = {
         (r["vec_a"], r["vec_b"]): r["cos_sim"]
-        for r in e6_embedding_neardup(spark, sf_dir, threshold=0.95).collect()
+        for r in e6_embedding_neardup(
+            spark, sf_dir, threshold=0.95, plant_dups=False
+        ).collect()
     }
     assert (3, 100) in pairs and pairs[(3, 100)] == 1.0
     assert (7, 101) in pairs and pairs[(7, 101)] > 0.99
     # nothing else is a near-dup at 0.95
     assert set(pairs) == {(3, 100), (7, 101)}
+
+
+def test_e6_driver_tier_recovers_all_planted_pairs(spark):
+    """The driver-tier run (plant_dups=True) must return exactly one pair
+    per planted duplicate — a live recall check, not a vacuous 0-row one."""
+    from pyspark.sql import functions as F
+
+    out = e6_embedding_neardup(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in out}
+    expected = {(v, v + 1_000_000) for v in range(0, 500, 10)}
+    assert got == expected
+    assert all(r["cos_sim"] >= 0.8 for r in out)
+
+
+def test_e7_ann_recall_meets_target(spark):
+    from deed_ocr_spark.queries.similarity import e7_ann_recall
+
+    row = e7_ann_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_queries"] == 500 and row["topk"] == 3
+    assert row["recall"] >= 0.8
+    # the tradeoff is visible: candidates are a strict subset of all pairs
+    assert 0.0 < row["candidate_fraction"] < 1.0
+
+
+def test_e4_bucket_cap_bounds_candidates(spark):
+    """bucket_cap must bound the candidate side regardless of bucket skew:
+    with cap=8 no (tbl,bucket) contributes more than 8 candidate vectors."""
+    from deed_ocr_spark.queries.common import t
+    from deed_ocr_spark.queries.similarity import _ann_candidates
+
+    e = t(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = _ann_candidates(
+        e.select("vec_id", "embedding"), n_planes=2, n_tables=1, bucket_cap=8
+    )
+    from pyspark.sql import functions as F
+
+    per_q = pairs.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
+    # 1 table × 4 buckets, cap 8: each query sees at most 8 candidates
+    assert per_q and all(r["n"] <= 8 for r in per_q)

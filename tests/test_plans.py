@@ -55,3 +55,30 @@ def test_lsh_pairs_plan_has_no_cartesian(spark):
     plan = _plan(d9_minhash_band_pairs(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d7_plan_reuses_persisted_shingles(spark):
+    """The shingle subtree feeds both the candidate and intersection sides;
+    the persist must show up as InMemoryTableScan (one tokenize pass)."""
+    from deed_ocr_spark.queries.textpipe import d7_ngram_jaccard_pairs
+
+    df = d7_ngram_jaccard_pairs(spark, SF)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_candidate_join_is_not_cartesian(spark):
+    """e4/e6 candidate generation must be an equi-join on (tbl, bucket).
+    The only nested-loop allowed is the broadcast of the constant
+    hyperplane set (a handful of rows) onto the scan."""
+    from deed_ocr_spark.queries.similarity import (
+        e4_lsh_ann_topk,
+        e6_embedding_neardup,
+    )
+
+    for q in (e4_lsh_ann_topk, e6_embedding_neardup):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        # the candidate self-join runs on the bucket keys
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
