@@ -57,10 +57,10 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def _materialize_corpus(spark, n_docs: int) -> str:
-    path = f"/tmp/bench_corpus_{n_docs}_{SEED}.parquet"
-    if not os.path.exists(path):
-        from deed_ocr_spark.corpus import corpus_df
+    from deed_ocr_spark.corpus import CORPUS_VERSION, corpus_df
 
+    path = f"/tmp/bench_corpus_v{CORPUS_VERSION}_{n_docs}_{SEED}.parquet"
+    if not os.path.exists(path):
         corpus_df(spark, n_docs, seed=SEED).write.mode("overwrite").parquet(path)
     return path
 

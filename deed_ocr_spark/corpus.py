@@ -69,15 +69,25 @@ HEADERS = [
     "EXHIBIT A",
 ]
 
+# Bumped whenever generated content changes (cache keys — e.g. the bench's
+# materialized corpus — include it so stale parquet is never reused).
+CORPUS_VERSION = 2
+
 # Condensed from the reference's warranty-deed fixture
 # (/root/reference/test/test_gemini_ocr.py:14-62): metes-and-bounds courses
 # plus the TRS line — exercises the DOTALL metes_bounds pattern across
-# multiple THENCE courses and the spaced township/range form.
+# multiple THENCE courses and the spaced township/range form. Party names,
+# the undivided-interest clause and the subject-to clause feed the
+# deterministic details extractor (kernels/details.py — the reference's
+# prompt schema, gemini_ocr.py:540-588).
 WARRANTY_DEED_SAMPLE = (
     # single-line so it embeds safely in the line-oriented pdf/ocr encodings
     "GENERAL WARRANTY DEED - KNOW ALL MEN BY THESE PRESENTS, that the "
-    "grantors, for consideration acknowledged, have GRANTED, SOLD and "
-    "CONVEYED unto the grantees all that certain tract of land described as "
+    "grantors, JOHN A. SMITH AND MARY L. SMITH, for consideration "
+    "acknowledged, have GRANTED, SOLD and CONVEYED unto the grantees, "
+    "ROBERT J. JONES AND SUSAN K. JONES, all of the grantors undivided 1/2 "
+    "interest in the property, subject to easements, restrictions and "
+    "reservations of record, in all that certain tract of land described as "
     "follows: BEGINNING at a point in the south line of said survey, said "
     "point being South 89 30 00 East 100.00 feet from the southwest corner; "
     "THENCE North 0 30 00 East 200.00 feet to a point; THENCE South 89 30 00 "

@@ -39,7 +39,7 @@ SPANS_OUT_DDL = (
 
 DOC_SUMMARY_DDL = (
     "doc_id string, n_pages int, n_spans int, n_media int, combined_chars bigint, "
-    "legal_description_block array<string>, trs array<string>"
+    "legal_description_block array<string>, trs array<string>, details_json string"
 )
 
 def _fault_span(text: str) -> str:
@@ -156,7 +156,12 @@ def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
     """Per-document stage-2 merge (reference semantics, golden.doc_summary)
     computed from already-extracted spans — runs inside the same Arrow batch
-    as extraction, so no shuffle of span data is ever needed."""
+    as extraction, so no shuffle of span data is ever needed. Emits the
+    whole-document structured record (``details_json`` — the reference's
+    final_result ``details``, workflow.py:484-598 + :737-756) alongside the
+    legal-description/TRS merge."""
+    from deed_ocr_spark.kernels.details import doc_details_json
+
     recs = []
     for doc_id, g in out.groupby("doc_id", sort=False):
         g = g.sort_values("order")
@@ -172,6 +177,7 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
                 len(combined),
                 summary["legal_description_block"],
                 summary["trs"],
+                doc_details_json(pages),
             )
         )
     return pd.DataFrame(
@@ -184,6 +190,7 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
             "combined_chars",
             "legal_description_block",
             "trs",
+            "details_json",
         ],
     ).astype({"n_pages": "int32", "n_spans": "int32", "n_media": "int32"})
 

@@ -64,6 +64,8 @@ def doc_summary(spans: Sequence[Dict]) -> Dict:
     combined text and the two sources merge per workflow.py:484-598 with
     the post-process ordered-dedup sweep (workflow.py:737-756).
     """
+    from deed_ocr_spark.kernels.details import doc_details_json
+
     out_spans = extract_doc(spans)
     pages = [text for _, kind, text, _, _ in out_spans if kind == "text"]
     combined = page_concat(pages)
@@ -76,4 +78,5 @@ def doc_summary(spans: Sequence[Dict]) -> Dict:
         "combined_chars": len(combined),
         "legal_description_block": summary["legal_description_block"],
         "trs": summary["trs"],
+        "details_json": doc_details_json(pages),
     }

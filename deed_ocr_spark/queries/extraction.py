@@ -46,6 +46,7 @@ def x2_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "combined_chars",
         F.array_join("legal_description_block", "␞").alias("legal_descriptions"),
         F.array_join("trs", "␞").alias("trs"),
+        "details_json",
     )
 
 
@@ -66,12 +67,9 @@ def x3_doc_summaries_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         return _doc_summaries(pdf)
 
-    out = spans.groupBy("doc_id").applyInPandas(
-        per_doc,
-        "doc_id string, n_pages int, n_spans int, n_media int, "
-        "combined_chars bigint, legal_description_block array<string>, "
-        "trs array<string>",
-    )
+    from deed_ocr_spark.extract import DOC_SUMMARY_DDL
+
+    out = spans.groupBy("doc_id").applyInPandas(per_doc, DOC_SUMMARY_DDL)
     return out.select(
         "doc_id",
         "n_pages",
@@ -80,6 +78,32 @@ def x3_doc_summaries_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "combined_chars",
         F.array_join("legal_description_block", "␞").alias("legal_descriptions"),
         F.array_join("trs", "␞").alias("trs"),
+        "details_json",
+    )
+
+
+# --- X4: whole-document structured record (the reference's final_result) -----
+# details_json is the reference's product field: document_type/subtype,
+# parties role→names, TRS, deed_details — per-page dicts folded with
+# conflict rename (workflow.py:253-260) and ordered-dedup swept
+# (workflow.py:737-756). The JSON surface is queryable with the engine's
+# own functions (get_json_object below), so downstream pipelines consume it
+# relationally without re-parsing in Python.
+def x4_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_summaries(_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.get_json_object("details_json", "$.document_type").alias("document_type"),
+        F.get_json_object("details_json", "$.document_subtype").alias(
+            "document_subtype"
+        ),
+        F.get_json_object("details_json", "$.parties.grantor").alias("grantors"),
+        F.get_json_object("details_json", "$.parties.grantee").alias("grantees"),
+        F.get_json_object("details_json", "$.deed_details.interest_fraction").alias(
+            "interest_fraction"
+        ),
+        F.array_join("trs", "␞").alias("trs"),
+        "details_json",
     )
 
 
@@ -112,6 +136,7 @@ QUERIES = {
     "x1_extract_spans": x1_extract_spans,
     "x2_doc_summaries": x2_doc_summaries,
     "x3_doc_summaries_grouped": x3_doc_summaries_grouped,
+    "x4_doc_details": x4_doc_details,
     "m1_media_metadata": m1_media_metadata,
     "m2_image_resize": m2_image_resize,
     "m3_video_frames": m3_video_frames,

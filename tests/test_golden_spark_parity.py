@@ -69,6 +69,25 @@ def test_spark_summaries_match_golden(spark):
         assert r["combined_chars"] == exp["combined_chars"]
         assert list(r["legal_description_block"]) == exp["legal_description_block"]
         assert list(r["trs"]) == exp["trs"]
+        assert r["details_json"] == exp["details_json"]
+
+
+def test_golden_summaries_regression_fixtures():
+    """Committed summary records (incl. the structured details_json — the
+    reference's final_result analog) guard the merge semantics."""
+    path = pathlib.Path(__file__).parent / "golden" / "summaries_expected.jsonl"
+    assert path.exists(), "run tools/gen_goldens.py to create fixtures"
+    n_details = n_parties = 0
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            live = doc_summary(gen_doc(rec["doc_id"], SEED)["spans"])
+            assert {"doc_id": rec["doc_id"], **live} == rec, rec["doc_id"]
+            d = json.loads(rec["details_json"])
+            n_details += bool(d)
+            n_parties += "parties" in d
+    # the corpus must actually exercise the record (not vacuous fixtures)
+    assert n_details >= 60 and n_parties >= 20
 
 
 def test_output_schema_types(spark):
