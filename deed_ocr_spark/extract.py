@@ -26,7 +26,10 @@ import pandas as pd
 from deed_ocr_spark.kernels.html import strip_html_boilerplate
 from deed_ocr_spark.kernels.legal import doc_legal_summary
 from deed_ocr_spark.kernels.ocr import ocr_region_text
-from deed_ocr_spark.kernels.pdfblocks import segment_pdf_blocks
+from deed_ocr_spark.kernels.pdfblocks import (
+    segment_pdf_blocks,
+    segment_pdf_blocks_many,
+)
 from deed_ocr_spark.kernels.textops import clean_watermarks_series, page_concat
 
 # Output span schema — the north_rule tuple plus provenance (src_kind feeds
@@ -57,6 +60,12 @@ _KIND_FN = {
     "ocr_region": ocr_region_text,
     "fault": _fault_span,
 }
+
+# Vectorized whole-batch variants (one numpy pass over all spans of a kind
+# in the Arrow batch). Must be byte-identical to the scalar kernel — the
+# scalar stays both the golden-executor path and the per-row error-channel
+# fallback if a batch kernel ever raises.
+_BATCH_KIND_FN = {"pdf_page": segment_pdf_blocks_many}
 
 
 def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -116,10 +125,18 @@ def _extract_flat(flat: pd.DataFrame) -> pd.DataFrame:
     src = flat["src_kind"]
     for kind, fn in _KIND_FN.items():
         mask = (src == kind).to_numpy()
-        if mask.any():
-            pairs = flat.loc[mask, "in_text"].map(_safe(fn))
-            out_text[mask] = pairs.map(lambda p: p[0])
-            status[mask] = pairs.map(lambda p: p[1])
+        if not mask.any():
+            continue
+        batch_fn = _BATCH_KIND_FN.get(kind)
+        if batch_fn is not None:
+            try:
+                out_text[mask] = batch_fn(flat.loc[mask, "in_text"].tolist())
+                continue  # statuses stay "ok" (batch kernels never raise per span)
+            except Exception:  # pragma: no cover — pathological batch
+                pass  # re-run through the per-row error channel below
+        pairs = flat.loc[mask, "in_text"].map(_safe(fn))
+        out_text[mask] = pairs.map(lambda p: p[0])
+        status[mask] = pairs.map(lambda p: p[1])
     passthrough = (src == "text").to_numpy()
     if passthrough.any():
         out_text[passthrough] = flat.loc[passthrough, "in_text"]

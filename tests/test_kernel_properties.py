@@ -100,3 +100,48 @@ def test_extract_doc_total_and_ordered(spans):
             assert text == ""
         else:
             assert media_ref == ""
+
+
+# --- batched pdf segmentation must be byte-identical to the scalar kernel ---
+_pdf_line = st.builds(
+    lambda x1, y1, h, kind, text: f"{x1:.1f},{y1:.1f},540,{y1 + h:.1f}|{kind}|{text}",
+    st.floats(0, 600, allow_nan=False),
+    st.floats(0, 800, allow_nan=False),
+    st.floats(5, 30, allow_nan=False),
+    st.sampled_from(["H", "P"]),
+    st.text(alphabet=string.ascii_letters + " .,", max_size=30),
+)
+_pdf_payload = st.one_of(
+    st.just(""),
+    st.just("garbage no pipes"),
+    st.just("1,2|P|too few coords"),
+    st.lists(_pdf_line, max_size=12).map("\n".join),
+)
+
+
+@given(st.lists(_pdf_payload, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_segment_pdf_blocks_many_matches_scalar(payloads):
+    from deed_ocr_spark.kernels.pdfblocks import (
+        segment_pdf_blocks,
+        segment_pdf_blocks_many,
+    )
+
+    assert segment_pdf_blocks_many(payloads) == [
+        segment_pdf_blocks(p) for p in payloads
+    ]
+
+
+def test_segment_many_malformed_float_fallback():
+    from deed_ocr_spark.kernels.pdfblocks import (
+        segment_pdf_blocks,
+        segment_pdf_blocks_many,
+    )
+
+    payloads = [
+        "72,40,540,52|P|good line",
+        "72,nope,540,52|P|bad float\n72,40,540,52|P|kept",
+    ]
+    assert segment_pdf_blocks_many(payloads) == [
+        segment_pdf_blocks(p) for p in payloads
+    ]
