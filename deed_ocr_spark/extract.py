@@ -224,3 +224,50 @@ def extract_doc_summaries_batch(
         if not len(flat):
             continue
         yield _doc_summaries(_extract_flat(flat))
+
+
+# One row per per-page legal description, WITH its confidence score —
+# the raw output of the reference's extractor before the acceptance
+# threshold (extractors/llm.py:125-138 + dedup :167-193). The P6 filter
+# (confidence > 0.5, llm.py:109-118) is applied RELATIONALLY by the
+# consuming query, so it is visible in the Spark plan, not buried in the
+# kernel.
+DESC_OUT_DDL = (
+    "doc_id string, page_number int, text string, "
+    "start_char int, end_char int, confidence double"
+)
+
+
+def extract_descriptions_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, spans) batches → per-description rows."""
+    from deed_ocr_spark.kernels.legal import find_descriptions_in_pages
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        flat = _explode_batch(pdf)
+        if not len(flat):
+            continue
+        out = _extract_flat(flat)
+        recs = []
+        for doc_id, g in out.groupby("doc_id", sort=False):
+            g = g.sort_values("order")
+            pages = g.loc[g["kind"] == "text", "text"].tolist()
+            for d in find_descriptions_in_pages(pages):
+                recs.append(
+                    (doc_id, d.page_number, d.text, d.start_char, d.end_char, d.confidence)
+                )
+        if recs:
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id",
+                    "page_number",
+                    "text",
+                    "start_char",
+                    "end_char",
+                    "confidence",
+                ],
+            ).astype({"page_number": "int32", "start_char": "int32", "end_char": "int32"})

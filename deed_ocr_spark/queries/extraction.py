@@ -107,6 +107,19 @@ def x4_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X5: per-page descriptions gated by the P6 confidence threshold ----------
+# The reference accepts an extracted description only above confidence 0.5
+# (extractors/llm.py:109-118). The kernel emits every scored description;
+# the threshold is a relational filter so it shows in the plan (and can be
+# pushed/retuned without touching the kernel).
+def x5_descriptions_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deed_ocr_spark.extract import DESC_OUT_DDL, extract_descriptions_batch
+
+    src = _corpus(spark, sf_dir).select("doc_id", "spans")
+    descs = src.mapInPandas(extract_descriptions_batch, DESC_OUT_DDL)
+    return descs.filter(F.col("confidence") > 0.5)
+
+
 # --- M1-M3: multimodal plumbing (see deed_ocr_spark.multimodal) --------------
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deed_ocr_spark.multimodal import synth_media_table
@@ -137,6 +150,7 @@ QUERIES = {
     "x2_doc_summaries": x2_doc_summaries,
     "x3_doc_summaries_grouped": x3_doc_summaries_grouped,
     "x4_doc_details": x4_doc_details,
+    "x5_descriptions_confident": x5_descriptions_confident,
     "m1_media_metadata": m1_media_metadata,
     "m2_image_resize": m2_image_resize,
     "m3_video_frames": m3_video_frames,
