@@ -30,6 +30,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 SEED = 42
 
 BENCH_QUERIES = [
+    "x4_doc_details",
     "a4_pricing_summary",
     "j2_join_agg",
     "j1_range_join",

@@ -150,17 +150,24 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["meta"]["duration_ms"])
-                n = min(max_frames, max(1, dur // every_ms))
-                for i in range(n):
-                    rows.append(
-                        (r["doc_id"], r["media_ref"], i, i * every_ms, r["payload"][:16])
-                    )
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "media_ref", "frame_idx", "ts_ms", "payload"]
-                ).astype({"frame_idx": "int32", "ts_ms": "int32"})
+            if not len(pdf):
+                continue
+            # vectorized 1→N fan-out: frame counts from the metadata column,
+            # then numpy repeat for the row explosion (no per-row iteration)
+            dur = pdf["meta"].map(lambda m: int(m["duration_ms"])).to_numpy()
+            n = np.minimum(max_frames, np.maximum(1, dur // every_ms)).astype(np.int64)
+            idx = np.repeat(np.arange(len(pdf)), n)
+            # ragged per-row arange without a Python loop
+            frame_idx = np.arange(n.sum()) - np.repeat(np.cumsum(n) - n, n)
+            payload16 = pdf["payload"].map(lambda b: b[:16]).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[idx],
+                    "media_ref": pdf["media_ref"].to_numpy()[idx],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "ts_ms": (frame_idx * every_ms).astype("int32"),
+                    "payload": payload16[idx],
+                }
+            )
 
     return vids.mapInPandas(kernel, FRAMES_DDL)
