@@ -134,6 +134,48 @@ ORACLES = {
                round(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_norm
         FROM n GROUP BY label
     """,
+    # e4 with its defaults (P=6 planes × L=4 tables, cap 256, top-3): the
+    # full multi-table LSH ANN pipeline is SQL-expressible, so the scale
+    # path gets the strongest check (rows + schema + value hash), not a
+    # rows-only one.
+    "e4_lsh_ann_topk": f"""
+        WITH planes AS (
+          SELECT CAST((vec_id - 1) // 6 AS INT) AS tbl,
+                 CAST((vec_id - 1) % 6 AS INT) AS pl,
+                 embedding AS plane
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 24),
+        sign AS (
+          SELECT e.vec_id, p.tbl,
+                 CASE WHEN {_DOT_SQL.format(a='e.embedding', b='p.plane')} > 0
+                      THEN (1 << p.pl) ELSE 0 END AS bitval
+          FROM embeddings e, planes p),
+        buckets AS (
+          SELECT vec_id, tbl, CAST(SUM(bitval) AS INT) AS bucket
+          FROM sign GROUP BY vec_id, tbl),
+        capped AS (
+          SELECT vec_id, tbl, bucket,
+                 row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS crk
+          FROM buckets),
+        pairs AS (
+          SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cand
+          FROM buckets p
+          JOIN capped c ON c.tbl = p.tbl AND c.bucket = p.bucket AND c.crk <= 256
+          WHERE p.vec_id <> c.vec_id),
+        scored AS (
+          SELECT pr.qid, pr.cand,
+                 round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                       / ({_NORM_SQL.format(a='q.embedding')}
+                          * {_NORM_SQL.format(a='c.embedding')}), 4) AS cos_sim
+          FROM pairs pr
+          JOIN embeddings q ON q.vec_id = pr.qid
+          JOIN embeddings c ON c.vec_id = pr.cand)
+        SELECT qid, cand AS neighbor, cos_sim, rk FROM (
+          SELECT qid, cand, cos_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, cand ASC) AS rk
+          FROM scored)
+        WHERE rk <= 3
+    """,
 }
 
 # --- E4: bucketed ANN (rows-only) — the scale path end-to-end ---------------
@@ -216,17 +258,15 @@ def e4_lsh_ann_topk(
     e = t(spark, sf_dir, "embeddings")
     pairs = _ann_candidates(e, n_planes, n_tables, bucket_cap)
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
+    # rank on the ROUNDED cosine (ties → cand asc): the 4-decimal grid makes
+    # the ordering identical across engines even if the last mantissa bit of
+    # the raw division ever differed — same discipline as e1's output
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand").asc())
     return (
-        pairs.select("qid", "cand", cos.alias("cos"))
+        pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= topk)
-        .select(
-            "qid",
-            F.col("cand").alias("neighbor"),
-            F.round("cos", 4).alias("cos_sim"),
-            "rk",
-        )
+        .select("qid", F.col("cand").alias("neighbor"), "cos_sim", "rk")
     )
 
 
