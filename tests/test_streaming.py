@@ -43,3 +43,48 @@ def test_streaming_matches_golden_and_is_incremental(spark, tmp_path):
         assert seq == extract_doc(gen_doc(doc_id, 21)["spans"]), doc_id
         # exactly-once: no duplicated orders from the re-run
         assert len({o for o, *_ in seq}) == len(seq)
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: two availableNow catch-up runs
+    over time-split event waves must end at exactly the batch w3_sessionize
+    totals on the full table (state carried across batches AND restarts)."""
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.queries.relational import w3_sessionize
+    from deed_ocr_spark.streaming import run_sessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    cut = events.selectExpr("percentile_approx(ts, 0.5) p").collect()[0]["p"]
+    in_dir = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sessions_out")
+
+    # wave 1: first half by time (per-user time order preserved globally)
+    events.filter(F.col("ts") <= cut).coalesce(2).write.mode("overwrite").parquet(in_dir)
+    run_sessionize_stream(spark, in_dir, ckpt, out).awaitTermination()
+    n_wave1 = spark.read.parquet(out).count()
+    assert n_wave1 > 0
+
+    # wave 2: the rest lands later; restart from the same checkpoint — the
+    # per-user state must survive the restart
+    events.filter(F.col("ts") > cut).coalesce(2).write.mode("append").parquet(in_dir)
+    run_sessionize_stream(spark, in_dir, ckpt, out).awaitTermination()
+
+    # current totals = the row with the highest n_events per user (monotone)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_sessions", "n_events").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in w3_sessionize(spark, sf).collect()
+    }
+    assert got == expected
