@@ -71,7 +71,7 @@ HEADERS = [
 
 # Bumped whenever generated content changes (cache keys — e.g. the bench's
 # materialized corpus — include it so stale parquet is never reused).
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 # Condensed from the reference's warranty-deed fixture
 # (/root/reference/test/test_gemini_ocr.py:14-62): metes-and-bounds courses
@@ -97,6 +97,23 @@ WARRANTY_DEED_SAMPLE = (
     "EXECUTED this 15th day of March, 2024."
 )
 
+# Lease/decree samples exercise the full details taxonomy end-to-end
+# (document types, lessor/lessee and plaintiff/defendant parties,
+# lease_details fields — kernels/details.py per gemini_ocr.py:540-588).
+LEASE_SAMPLE = (
+    "OIL & GAS LEASE - THIS LEASE made between the lessor, ACME ROYALTY "
+    "COMPANY, and the lessees, CAROL M. DAVIS AND PETER Q. DAVIS, covering "
+    "160 acres in Section 9, Township 4 N, Range 2 W, with a 3/16 royalty "
+    "for a term of 5 years."
+)
+
+DECREE_SAMPLE = (
+    "DECREE OF HEIRSHIP - IN THE DISTRICT COURT. The plaintiffs, HENRY T. "
+    "WILSON AND GRACE WILSON, and the defendant, ESTATE OF EDNA WILSON, "
+    "appeared; the court finds the heirs entitled to the SW 1/4 of "
+    "Section 22, Township 5 N, Range 7 W."
+)
+
 NAV_WORDS = ["Home", "Search", "Records", "Login", "About", "Contact", "Help", "Index"]
 
 WATERMARK_FORMS = ["UNOFFICIAL COPY", "UNOFFICIAL COPY UNOFFICIAL COPY", "UNO"]
@@ -110,6 +127,10 @@ def _sentence(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.02:
         return WARRANTY_DEED_SAMPLE
+    if roll < 0.03:
+        return LEASE_SAMPLE
+    if roll < 0.04:
+        return DECREE_SAMPLE
     if roll < 0.27:
         return rng.choice(LEGAL_SNIPPETS)
     return rng.choice(PLAIN_SNIPPETS)
