@@ -74,16 +74,17 @@ def strip_html_boilerplate(
     for block in blocks:
         if not block or block.isspace():
             continue
-        anchor_chars = 0
-        for m in _ANCHOR.finditer(block):
-            anchor_chars += len(_visible_text(m.group(1)))
+        # length gate first: short blocks drop regardless of link density,
+        # and most split fragments are tiny tag debris — skips the anchor
+        # regex for them entirely (same kept set; conditions are AND-ed)
         text = _visible_text(block)
-        if not text:
+        if not text or len(text) < min_block_chars:
             continue
-        link_density = anchor_chars / len(text)
-        if len(text) < min_block_chars:
-            continue
-        if link_density > max_link_density:
+        anchor_chars = 0
+        if "<a" in block or "<A" in block:  # cheap probe before the regex
+            for m in _ANCHOR.finditer(block):
+                anchor_chars += len(_visible_text(m.group(1)))
+        if anchor_chars / len(text) > max_link_density:
             continue
         kept.append(text)
     return "\n\n".join(kept)

@@ -42,7 +42,12 @@ def main(argv=None):
     p.add_argument(
         "--summaries-out",
         help="also write per-document summaries (legal descriptions, TRS, "
-        "metrics — the reference's final_result analog) to this dir",
+        "details_json — the reference's final_result analog) to this dir",
+    )
+    p.add_argument(
+        "--descriptions-out",
+        help="also write per-page legal descriptions that pass the "
+        "confidence>0.5 acceptance threshold (P6) to this dir",
     )
     p.add_argument(
         "--stream",
@@ -96,6 +101,19 @@ def main(argv=None):
         extract_summaries(df, n_partitions=args.partitions).write.mode(
             "overwrite"
         ).parquet(args.summaries_out)
+
+    if args.descriptions_out:
+        from pyspark.sql import functions as F
+
+        from deed_ocr_spark.extract import DESC_OUT_DDL, extract_descriptions_batch
+
+        (
+            df.select("doc_id", "spans")
+            .mapInPandas(extract_descriptions_batch, DESC_OUT_DDL)
+            .filter(F.col("confidence") > 0.5)
+            .write.mode("overwrite")
+            .parquet(args.descriptions_out)
+        )
 
     t0 = time.time()
     stats = run_extraction_job(
