@@ -68,6 +68,28 @@ def test_d7_plan_reuses_persisted_shingles(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_x4_details_plan_stays_zero_exchange(spark):
+    """The product query (structured details record) must keep the fused
+    extraction shape: scan → MapInPandas → project, no shuffle anywhere."""
+    from deed_ocr_spark.queries.extraction import x4_doc_details
+
+    plan = _plan(x4_doc_details(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_documents_scan_prunes_to_used_columns(spark):
+    """d1 projects md5(text)+doc_id only — the parquet scan must not read
+    lang/source/n_chars (column pruning reaches the scan)."""
+    from deed_ocr_spark.queries.textpipe import d1_dedup_exact
+
+    plan = _plan(d1_dedup_exact(spark, SF))
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m, plan
+    assert "text" in m.group(1) and "doc_id" in m.group(1)
+    assert "lang" not in m.group(1) and "n_chars" not in m.group(1)
+
+
 def test_ann_candidate_join_is_not_cartesian(spark):
     """e4/e6 candidate generation must be an equi-join on (tbl, bucket).
     The only nested-loop allowed is the broadcast of the constant
