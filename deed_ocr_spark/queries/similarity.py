@@ -278,7 +278,12 @@ def e4_lsh_ann_topk(
 # no-cross-join discipline as LSH: candidate generation is an equi-join on
 # cell id.
 def e5_ivf_ann_topk(
-    spark: SparkSession, sf_dir: str, k_cells: int = 8, nprobe: int = 2, topk: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    k_cells: int = 8,
+    nprobe: int = 2,
+    topk: int = 3,
+    list_cap: int = 256,
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -300,9 +305,18 @@ def e5_ivf_ann_topk(
         .filter(F.col("rk") <= nprobe)
         .select("vec_id", "cell", "embedding", (F.col("rk") == 1).alias("is_home"))
     )
-    # inverted lists = home assignments; queries probe nprobe cells
-    lists = assigned.filter(F.col("is_home")).select(
-        F.col("cell"), F.col("vec_id").alias("cand"), F.col("embedding").alias("cv2")
+    # inverted lists = home assignments; queries probe nprobe cells.
+    # list_cap bounds each inverted list (the e4 bucket_cap, IVF edition):
+    # a skewed centroid can otherwise own an unbounded share of the corpus
+    # and turn its cell into a cross join in disguise.
+    w_cap = Window.partitionBy("cell").orderBy("vec_id")
+    lists = (
+        assigned.filter(F.col("is_home"))
+        .withColumn("crk", F.row_number().over(w_cap))
+        .filter(F.col("crk") <= list_cap)
+        .select(
+            F.col("cell"), F.col("vec_id").alias("cand"), F.col("embedding").alias("cv2")
+        )
     )
     probes = assigned.select(F.col("cell"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     pairs = probes.join(lists, "cell").filter(F.col("qid") != F.col("cand"))
@@ -369,6 +383,38 @@ def e6_embedding_neardup(
 # embedding corpora are clustered, giving the same recall with far fewer
 # candidates): P=3 planes, L=8 tables. The candidate fraction is reported
 # alongside recall so the selectivity/recall tradeoff is visible.
+def _brute_force_topk(e: DataFrame, topk: int) -> DataFrame:
+    """Exact top-k neighbors (intentional all-pairs cross join — ground
+    truth only; at production scale you sample a few thousand queries)."""
+    from pyspark.sql.window import Window
+
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cv"))
+    gt_pairs = q.crossJoin(c).filter(F.col("qid") != F.col("cand"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
+    return (
+        gt_pairs.select("qid", "cand", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", F.col("cand").alias("neighbor"))
+    )
+
+
+def _recall_row(
+    spark: SparkSession, e: DataFrame, ann: DataFrame, topk: int, n_cand_pairs: int
+) -> DataFrame:
+    n_vec = e.count()
+    gt = _brute_force_topk(e, topk)
+    hits = gt.join(ann.select("qid", "neighbor"), ["qid", "neighbor"]).count()
+    recall = hits / float(n_vec * topk)
+    cand_frac = n_cand_pairs / float(n_vec * max(n_vec - 1, 1))
+    return spark.createDataFrame(
+        [(n_vec, topk, round(recall, 4), round(cand_frac, 4))],
+        "n_queries int, topk int, recall double, candidate_fraction double",
+    )
+
+
 def e7_ann_recall(
     spark: SparkSession,
     sf_dir: str,
@@ -377,36 +423,41 @@ def e7_ann_recall(
     n_tables: int = 8,
     bucket_cap: int = 512,
 ) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = t(spark, sf_dir, "embeddings")
-    n_vec = e.count()
     ann = e4_lsh_ann_topk(
         spark, sf_dir, topk=topk, n_planes=n_planes, n_tables=n_tables,
         bucket_cap=bucket_cap,
-    ).select("qid", "neighbor")
-
-    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    c = e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cv"))
-    gt_pairs = q.crossJoin(c).filter(F.col("qid") != F.col("cand"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
-    gt = (
-        gt_pairs.select("qid", "cand", cos.alias("cos"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("qid", F.col("cand").alias("neighbor"))
     )
-    hits = gt.join(ann, ["qid", "neighbor"]).count()
     cands = _ann_candidates(
         e.select("vec_id", "embedding"), n_planes, n_tables, bucket_cap
     ).count()
-    recall = hits / float(n_vec * topk)
-    cand_frac = cands / float(n_vec * max(n_vec - 1, 1))
-    return spark.createDataFrame(
-        [(n_vec, topk, round(recall, 4), round(cand_frac, 4))],
-        "n_queries int, topk int, recall double, candidate_fraction double",
+    return _recall_row(spark, e, ann, topk, cands)
+
+
+# --- E8: IVF recall@k — same gauge for the inverted-file path ----------------
+# Defaults tuned like e7's: fewer, larger cells + wider probing buy recall
+# on near-orthogonal vectors (the IVF worst case — no cluster structure for
+# the coarse quantizer to exploit).
+def e8_ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    topk: int = 3,
+    k_cells: int = 4,
+    nprobe: int = 3,
+    list_cap: int = 512,
+) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    ann = e5_ivf_ann_topk(
+        spark, sf_dir, k_cells=k_cells, nprobe=nprobe, topk=topk, list_cap=list_cap
     )
+    # candidate volume ≈ probes × capped list sizes; measure it directly
+    n_cand = (
+        e5_ivf_ann_topk(
+            spark, sf_dir, k_cells=k_cells, nprobe=nprobe, topk=10**9,
+            list_cap=list_cap,
+        ).count()
+    )
+    return _recall_row(spark, e, ann, topk, n_cand)
 
 
 QUERIES = {
@@ -417,4 +468,5 @@ QUERIES = {
     "e4_lsh_ann_topk": e4_lsh_ann_topk,
     "e5_ivf_ann_topk": e5_ivf_ann_topk,
     "e7_ann_recall": e7_ann_recall,
+    "e8_ivf_recall": e8_ivf_recall,
 }

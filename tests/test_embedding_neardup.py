@@ -84,3 +84,31 @@ def test_e4_bucket_cap_bounds_candidates(spark):
     per_q = pairs.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
     # 1 table × 4 buckets, cap 8: each query sees at most 8 candidates
     assert per_q and all(r["n"] <= 8 for r in per_q)
+
+
+def test_e8_ivf_recall_meets_target(spark):
+    from deed_ocr_spark.queries.similarity import e8_ivf_recall
+
+    row = e8_ivf_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["recall"] >= 0.8
+    assert 0.0 < row["candidate_fraction"] < 1.0
+
+
+def test_e5_list_cap_bounds_inverted_lists(spark):
+    """With list_cap=8 each probed cell contributes at most 8 candidates,
+    so no query can see more than nprobe*8 candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.queries.similarity import e5_ivf_ann_topk
+
+    big_k = 10**6  # effectively "all candidates" — isolates the cap
+    per_q = (
+        e5_ivf_ann_topk(
+            spark, "/root/testdata/sf0.001", k_cells=4, nprobe=2,
+            topk=big_k, list_cap=8,
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert per_q and all(r["n"] <= 16 for r in per_q)
