@@ -134,6 +134,95 @@ ORACLES = {
                round(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_norm
         FROM n GROUP BY label
     """,
+    # e5 with its defaults (8 cells, nprobe 2, list cap 256, top-3): coarse
+    # quantizer assignment, probed inverted lists, capped, cosine top-k.
+    "e5_ivf_ann_topk": f"""
+        WITH cents AS (
+          SELECT vec_id AS cell, embedding AS cv
+          FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 {_DOT_SQL.format(a='e.embedding', b='c.cv')}
+                   / ({_NORM_SQL.format(a='e.embedding')}
+                      * {_NORM_SQL.format(a='c.cv')}) AS sim
+          FROM embeddings e, cents c),
+        assigned AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell ASC) AS ark
+          FROM scored),
+        probes AS (SELECT cell, vec_id AS qid FROM assigned WHERE ark <= 2),
+        lists AS (
+          SELECT cell, cand FROM (
+            SELECT cell, vec_id AS cand,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crk
+            FROM assigned WHERE ark = 1)
+          WHERE crk <= 256),
+        pairs AS (
+          SELECT DISTINCT p.qid, l.cand
+          FROM probes p JOIN lists l ON l.cell = p.cell
+          WHERE p.qid <> l.cand),
+        scored2 AS (
+          SELECT pr.qid, pr.cand,
+                 round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                       / ({_NORM_SQL.format(a='q.embedding')}
+                          * {_NORM_SQL.format(a='c.embedding')}), 4) AS cos_sim
+          FROM pairs pr
+          JOIN embeddings q ON q.vec_id = pr.qid
+          JOIN embeddings c ON c.vec_id = pr.cand)
+        SELECT qid, cand AS neighbor, cos_sim, rk FROM (
+          SELECT qid, cand, cos_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, cand ASC) AS rk
+          FROM scored2) WHERE rk <= 3
+    """,
+    # e6 with its defaults: planted near-dups (every 10th vector, first
+    # coordinate nudged, float32-rounded exactly like Spark's
+    # cast("array<float>")) unioned in, multi-table buckets from the
+    # ORIGINAL rows 1..24, capped candidates, cosine >= 0.8. DuckDB lambda
+    # indexes are 1-based (Spark's are 0-based): i=1 == element 0.
+    "e6_embedding_neardup": f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 (list_transform(embedding,
+                    (x, i) -> CASE WHEN i = 1 THEN x * 1.2 + 0.05 ELSE x END)
+                 )::FLOAT[] AS embedding
+          FROM embeddings WHERE vec_id % 10 = 0),
+        planes AS (
+          SELECT CAST((vec_id - 1) // 6 AS INT) AS tbl,
+                 CAST((vec_id - 1) % 6 AS INT) AS pl,
+                 embedding AS plane
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 24),
+        sign AS (
+          SELECT e.vec_id, p.tbl,
+                 CASE WHEN {_DOT_SQL.format(a='e.embedding', b='p.plane')} > 0
+                      THEN (1 << p.pl) ELSE 0 END AS bitval
+          FROM base e, planes p),
+        buckets AS (
+          SELECT vec_id, tbl, CAST(SUM(bitval) AS INT) AS bucket
+          FROM sign GROUP BY vec_id, tbl),
+        capped AS (
+          SELECT vec_id, tbl, bucket,
+                 row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS crk
+          FROM buckets),
+        pairs AS (
+          SELECT DISTINCT p.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM buckets p
+          JOIN capped c ON c.tbl = p.tbl AND c.bucket = p.bucket AND c.crk <= 256
+          WHERE p.vec_id < c.vec_id),
+        scored AS (
+          SELECT pr.vec_a, pr.vec_b,
+                 {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM_SQL.format(a='a.embedding')}
+                      * {_NORM_SQL.format(a='b.embedding')}) AS cos
+          FROM pairs pr
+          JOIN base a ON a.vec_id = pr.vec_a
+          JOIN base b ON b.vec_id = pr.vec_b)
+        SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+        FROM scored WHERE cos >= 0.8
+    """,
     # e4 with its defaults (P=6 planes × L=4 tables, cap 256, top-3): the
     # full multi-table LSH ANN pipeline is SQL-expressible, so the scale
     # path gets the strongest check (rows + schema + value hash), not a
@@ -321,13 +410,16 @@ def e5_ivf_ann_topk(
     probes = assigned.select(F.col("cell"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     pairs = probes.join(lists, "cell").filter(F.col("qid") != F.col("cand"))
     cos = _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2")))
-    w_top = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
+    # rank on the rounded cosine (cross-engine deterministic — e4 pattern)
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cand").asc()
+    )
     return (
-        pairs.select("qid", "cand", cos.alias("cos"))
+        pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
         .dropDuplicates(["qid", "cand"])
         .withColumn("rk", F.row_number().over(w_top))
         .filter(F.col("rk") <= topk)
-        .select("qid", F.col("cand").alias("neighbor"), F.round("cos", 4).alias("cos_sim"), "rk")
+        .select("qid", F.col("cand").alias("neighbor"), "cos_sim", "rk")
     )
 
 
