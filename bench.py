@@ -92,10 +92,11 @@ def bench_main() -> None:
     results["x1_extract_spans"] = round(ext_sec, 3)
     docs_per_sec = BENCH_DOCS / ext_sec
 
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = 1e18  # best-of-2: this VM has co-tenant steal-time noise
-        for _ in range(2):
+        best = 1e18  # best-of-N: this VM has co-tenant steal-time noise
+        for _ in range(trials):
             t0 = time.time()
             fn(spark, SF_DIR).count()
             best = min(best, time.time() - t0)
