@@ -22,6 +22,12 @@ Spark idiom (SURVEY.md §2.8):
   different bucketing against the same state dir fails fast instead of
   silently duplicating documents under a new partitioning.
 
+The input is assumed snapshot-stable across resume attempts (on a real
+catalog you pin the Iceberg snapshot id in ``lineage``): a bucket marked
+``done`` is never rescanned, so documents appended to the input after the
+first attempt belong to a NEW run — continuously-growing corpora take the
+streaming path (streaming.py) instead.
+
 Storage is parquet here (the sandbox has no Iceberg catalog jars); the
 layout and commit protocol are Iceberg-shaped: swapping the writes to
 ``writeTo(...).overwritePartitions()`` on a real catalog is mechanical.
