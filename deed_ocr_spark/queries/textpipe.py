@@ -338,6 +338,32 @@ _BAND_PAIRS_SQL = f"""
 _BPE_SQL = BPE_PAT.replace("'", "''")
 
 ORACLES = {
+    "d14_training_keeplist": rf"""
+        WITH lang AS (
+          SELECT doc_id,
+                 ({_STOPWORD_HITS_SQL})
+                   / greatest(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE),
+                              CAST(1.0 AS DOUBLE)) AS en_score
+          FROM documents),
+        qual AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE)
+                   / greatest(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE),
+                              CAST(1.0 AS DOUBLE)) AS mean_token_len
+          FROM documents),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        dup_b AS (
+          SELECT DISTINCT doc_b AS doc_id FROM ({_BAND_PAIRS_SQL}))
+        SELECT d.doc_id, d.n_chars
+        FROM documents d
+        JOIN lang USING (doc_id)
+        JOIN qual USING (doc_id)
+        WHERE lang.en_score > 0.03
+          AND qual.mean_token_len <= 5.8
+          AND d.doc_id IN (SELECT doc_id FROM keepers)
+          AND d.doc_id NOT IN (SELECT doc_id FROM dup_b)
+    """,
     "d11_bpe_token_count": rf"""
         SELECT doc_id,
                CAST(length(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
@@ -533,8 +559,40 @@ def d10_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D14: the composed training-data keep-list -------------------------------
+# What a 100 TB curation pipeline actually runs, as ONE plan: language
+# gate ⋈ quality gate → exact-dedup keeper semi-join → MinHash-LSH
+# near-dup anti-join. Each stage is an already-oracled operator; composing
+# them keeps everything in equi-joins (Catalyst reorders + broadcasts the
+# tiny pair sets) and the output is the surviving corpus.
+def d14_training_keeplist(
+    spark: SparkSession, sf_dir: str, max_mean_token_len: float = 5.8
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    lang = d3_lang_id(spark, sf_dir).select("doc_id", "guess_en")
+    qual = d4_quality_score(spark, sf_dir).select("doc_id", "mean_token_len")
+    keepers = d1_dedup_exact(spark, sf_dir).select(F.col("keeper").alias("doc_id"))
+    dup_b = (
+        d9_minhash_band_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            (F.col("guess_en") == 1)
+            & (F.col("mean_token_len") <= F.lit(max_mean_token_len))
+        )
+        .join(keepers, "doc_id", "semi")
+        .join(dup_b, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
 QUERIES = {
     "d12_winnow_fingerprints": d12_winnow_fingerprints,
+    "d14_training_keeplist": d14_training_keeplist,
     "d13_winnow_dup_pairs": d13_winnow_dup_pairs,
     "d11_bpe_token_count": d11_bpe_token_count,
     "d10_minhash_fast_pairs": d10_minhash_fast_pairs,
