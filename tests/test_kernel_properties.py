@@ -145,3 +145,27 @@ def test_segment_many_malformed_float_fallback():
     assert segment_pdf_blocks_many(payloads) == [
         segment_pdf_blocks(p) for p in payloads
     ]
+
+
+# --- details kernel: total on arbitrary input, JSON always round-trips ------
+_page_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " \n.,;:!?-/&%'",
+    max_size=300,
+)
+
+
+@given(st.lists(_page_text, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_doc_details_total_and_json_roundtrip(pages):
+    import json
+
+    from deed_ocr_spark.kernels.details import doc_details, doc_details_json
+
+    d = doc_details(pages)
+    j = doc_details_json(pages)
+    assert json.loads(j) == d
+    # determinism: same input → same record
+    assert doc_details_json(pages) == j
+    # the sweep contract: the redundant details.TRS never survives
+    assert "TRS" not in d
+

@@ -1,0 +1,37 @@
+"""Skew policy regression guard: the explicit (doc_id, salt) repartition
+must spread the corpus's heavy-tailed documents (1.5% hot docs with
+40-120 spans) evenly enough that no task inherits a hot-doc pile-up —
+the property the 1000-executor story depends on (job.py docstring)."""
+
+from pyspark.sql import functions as F
+
+from deed_ocr_spark.corpus import corpus_df
+from deed_ocr_spark.job import repartition_for_extract
+
+N_DOCS = 4000
+N_PARTS = 16
+
+
+def test_salted_repartition_flattens_hot_tail(spark):
+    df = corpus_df(spark, N_DOCS, seed=42, n_partitions=4)
+    # cost proxy: total span-text bytes per partition
+    cost = F.aggregate(
+        F.transform("spans", lambda s: F.length(s["text"])),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    parted = repartition_for_extract(df.select("doc_id", "spans"), N_PARTS)
+    per_part = (
+        parted.withColumn("cost", cost)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("cost").alias("bytes"))
+        .collect()
+    )
+    loads = [r["bytes"] for r in per_part]
+    assert len(loads) == N_PARTS  # no empty partitions at this size
+    mean = sum(loads) / len(loads)
+    ratio = max(loads) / mean
+    # r1 measured 1.037x at 64 partitions/400k docs; allow slack for the
+    # smaller sample but fail on anything resembling a hot-key pile-up
+    assert ratio < 1.35, (ratio, sorted(loads)[-3:])
