@@ -3,9 +3,13 @@
 ``entry(spark)`` runs the flagship interleaved-span extraction on the
 sf0.001 tier; ``queries()``/``oracle_sql()`` expose the operator coverage
 from SURVEY.md §2 plus the training-data pipeline ops (dedup family,
-similarity search, text analysis, multimodal plumbing). Oracle-less
-entries (x1/x2/m1) are the non-SQL-expressible kernel pipelines — their
-semantics are covered by the golden-executor suite in tests/.
+similarity search, text analysis, multimodal plumbing). Exactly 50 queries
+are registered — the driver's CORRECTNESS gate records at most 50 rows
+(see docs/COVERAGE.md, "Driver registry sizing") — 40 of them
+oracle-backed. Oracle-less entries (x1/x2/x4/x5/m1, d6b/d10/d13, a12, e7)
+are the non-SQL-expressible kernel pipelines, engine-native-hash twins,
+the HLL sketch, and the recall gauge — each covered by golden / agreement
+/ parity tests in tests/ instead.
 """
 
 from __future__ import annotations

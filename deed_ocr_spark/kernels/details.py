@@ -110,7 +110,9 @@ def extract_deed_details(text: str) -> Optional[Dict[str, str]]:
         out["grantors_interest"] = m.group(0)
     m = _INTEREST_FRACTION_RE.search(text)
     if m:
-        out["interest_fraction"] = m.group(0)
+        # key case follows the reference prompt schema verbatim
+        # (gemini_ocr.py:561 names it "Interest_fraction", capital I)
+        out["Interest_fraction"] = m.group(0)
     m = _SUBJECT_TO_RE.search(text)
     if m:
         out["subject_to"] = m.group(0)

@@ -40,19 +40,22 @@ def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
     return h
 
 
-def winnow(text: str, k: int = 8, w: int = 4) -> List[Tuple[int, int]]:
-    """Winnowing fingerprints: list of (hash, position), position-sorted.
+def winnow_arrays(text: str, k: int = 8, w: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints as parallel numpy arrays (hashes, positions),
+    position-sorted — the columnar form: callers batch documents with
+    ``np.concatenate`` and never box per-fingerprint Python tuples.
 
     Rightmost-minimum tie-break per the paper; consecutive duplicate picks
     collapse to one fingerprint.
     """
     h = kgram_hashes(text, k)
     m = len(h)
+    empty = np.empty(0, dtype=np.int64)
     if m == 0:
-        return []
+        return empty, empty
     if m <= w:
         pos = int(np.flatnonzero(h == h.min())[-1])
-        return [(int(h[pos]), pos)]
+        return h[pos : pos + 1], np.array([pos], dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(h, w)
     # rightmost argmin: argmin over reversed window
     rev = win[:, ::-1]
@@ -62,6 +65,11 @@ def winnow(text: str, k: int = 8, w: int = 4) -> List[Tuple[int, int]]:
     # collapse consecutive identical positions
     keep = np.ones(len(picks_pos), dtype=bool)
     keep[1:] = picks_pos[1:] != picks_pos[:-1]
-    return [
-        (int(hv), int(pv)) for hv, pv in zip(picks_hash[keep], picks_pos[keep])
-    ]
+    return picks_hash[keep], picks_pos[keep].astype(np.int64)
+
+
+def winnow(text: str, k: int = 8, w: int = 4) -> List[Tuple[int, int]]:
+    """Tuple-list view of :func:`winnow_arrays` (kept for the naive-reference
+    cross-check tests; the Spark kernel consumes the arrays directly)."""
+    hs, ps = winnow_arrays(text, k, w)
+    return [(int(hv), int(pv)) for hv, pv in zip(hs, ps)]

@@ -129,6 +129,12 @@ def segment_pdf_blocks_many(
         # a malformed float anywhere in the batch: fall back to the scalar
         # path, which skips exactly the malformed lines (rare; parity > speed)
         return [segment_pdf_blocks(p, gap) for p in payloads]
+    if not np.isfinite(cmat).all():
+        # 'nan'/'inf' parse in both paths (no ValueError), but Python's
+        # sorted() and np.lexsort order non-finite keys differently — the
+        # byte-identical contract holds only on finite coordinates, so such
+        # adversarial payloads take the scalar path too
+        return [segment_pdf_blocks(p, gap) for p in payloads]
 
     pix = np.asarray(pidx, dtype=np.int64)
     x1, y1, y2 = cmat[:, 0], cmat[:, 1], cmat[:, 3]

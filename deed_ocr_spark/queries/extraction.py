@@ -99,7 +99,8 @@ def x4_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.get_json_object("details_json", "$.parties.grantor").alias("grantors"),
         F.get_json_object("details_json", "$.parties.grantee").alias("grantees"),
-        F.get_json_object("details_json", "$.deed_details.interest_fraction").alias(
+        # JSON key case is the reference prompt's verbatim (gemini_ocr.py:561)
+        F.get_json_object("details_json", "$.deed_details.Interest_fraction").alias(
             "interest_fraction"
         ),
         F.array_join("trs", "␞").alias("trs"),
@@ -145,15 +146,55 @@ def m3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media_table(spark, sf_dir)).drop("payload")
 
 
+# --- M1 (registered): the three multimodal kernels as one driver query -------
+# The driver's CORRECTNESS gate records at most 50 queries, so the decode /
+# resize / frame-sample stages land in ONE registered entry: each stage's
+# output is normalized to (stage, doc_id, media_ref, media_kind, d1, d2,
+# n_bytes) and unioned. All three kernels still run end-to-end every round;
+# the per-stage functions above keep their own pytest coverage.
+def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deed_ocr_spark.multimodal import decode_media, resize_images, sample_frames
+
+    media = _media_table(spark, sf_dir)
+    dec = decode_media(media).select(
+        F.lit("decode").alias("stage"),
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        F.col("width").alias("d1"),
+        F.col("height").alias("d2"),
+        "n_bytes",
+    )
+    res = resize_images(media).select(
+        F.lit("resize").alias("stage"),
+        "doc_id",
+        "media_ref",
+        F.lit("image").alias("media_kind"),
+        F.col("out_width").alias("d1"),
+        F.col("out_height").alias("d2"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    frm = sample_frames(media).select(
+        F.lit("frames").alias("stage"),
+        "doc_id",
+        "media_ref",
+        F.lit("video").alias("media_kind"),
+        F.col("frame_idx").alias("d1"),
+        F.col("ts_ms").alias("d2"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return dec.unionByName(res).unionByName(frm)
+
+
+# x3_doc_summaries_grouped is NOT registered (50-row driver cap): it is the
+# grouped-applyInPandas twin of x2, held equal to the fused path by
+# tests/test_grouped_vs_fused.py every session.
 QUERIES = {
     "x1_extract_spans": x1_extract_spans,
     "x2_doc_summaries": x2_doc_summaries,
-    "x3_doc_summaries_grouped": x3_doc_summaries_grouped,
     "x4_doc_details": x4_doc_details,
     "x5_descriptions_confident": x5_descriptions_confident,
-    "m1_media_metadata": m1_media_metadata,
-    "m2_image_resize": m2_image_resize,
-    "m3_video_frames": m3_video_frames,
+    "m1_multimodal_pipeline": m1_multimodal_pipeline,
 }
 
 ORACLES: dict = {}

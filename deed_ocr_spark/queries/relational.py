@@ -61,16 +61,73 @@ def p7_watermark_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- P8: confidence scoring as column arithmetic (llm.py:143-165 shape) ---
+# --- P8: confidence scoring, exact kernel semantics (llm.py:143-165) ------
+# The reference scores a regex match against its document: base 0.5, +0.2
+# if ANY of the three header keywords occurs within 500 chars of the match
+# (first-occurrence positions, break-on-hit ≡ OR), +0.1 per length
+# threshold (>100, >200), capped at 0.9. The documents table is word salad
+# with no headers, so to make every branch OBSERVABLE the query derives a
+# deterministic scored corpus (e6's planted-fixture discipline): a header
+# keyword is planted at a doc_id-dependent distance (padding 0..800 chars,
+# straddling the 500 threshold both ways) and the "match" is a
+# doc_id-dependent slice (requested length 80..259, straddling both length
+# thresholds). Same formula as kernels/legal.py:traditional_confidence —
+# held to it by tests/test_p8_kernel_parity.py.
 def p8_confidence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    full = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("LEGAL DESCRIPTION: "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(' pad', CAST(doc_id % 200 AS INT))"),
+                F.lit(" described as follows"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("Property Description"),
+                F.expr("repeat(' pad', CAST(doc_id % 200 AS INT))"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    scored = (
+        d.select("doc_id", full.alias("full_text"))
+        .withColumn(
+            "mt",
+            F.expr(
+                "substring(full_text, 1 + CAST(doc_id % 40 AS INT),"
+                " 80 + CAST(doc_id % 180 AS INT))"
+            ),
+        )
+        .withColumn("mpos", F.expr("locate(mt, full_text)"))
+        .withColumn("h1", F.expr("locate('legal description', lower(full_text))"))
+        .withColumn("h2", F.expr("locate('property description', lower(full_text))"))
+        .withColumn("h3", F.expr("locate('described as follows', lower(full_text))"))
+    )
+    near = (
+        ((F.col("h1") > 0) & (F.abs(F.col("mpos") - F.col("h1")) < 500))
+        | ((F.col("h2") > 0) & (F.abs(F.col("mpos") - F.col("h2")) < 500))
+        | ((F.col("h3") > 0) & (F.abs(F.col("mpos") - F.col("h3")) < 500))
+    )
     conf = (
         F.lit(0.5)
-        + F.when(F.col("text").contains("legal description"), 0.2).otherwise(0.0)
-        + F.when(F.col("n_chars") > 100, 0.1).otherwise(0.0)
-        + F.when(F.col("n_chars") > 200, 0.1).otherwise(0.0)
+        + F.when(near, 0.2).otherwise(0.0)
+        + F.when(F.length("mt") > 100, 0.1).otherwise(0.0)
+        + F.when(F.length("mt") > 200, 0.1).otherwise(0.0)
     )
-    return d.select("doc_id", F.least(conf, F.lit(0.9)).alias("confidence"))
+    return scored.select(
+        "doc_id",
+        F.length("mt").cast("bigint").alias("match_len"),
+        F.least(conf, F.lit(0.9)).alias("confidence"),
+    )
 
 
 # --- P9: error categorization (workflow.py:65-110 taxonomy shape) ---------
@@ -296,11 +353,19 @@ def a13_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — sketch values are engine-specific so
-    this is rows-only; the companion exact count is oracle-checked via
-    a10-style queries."""
+    this stays rows-only; the exact companion is the oracle-backed
+    a12b_distinct_parts (same grouping, plain countDistinct)."""
     l = t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+def a12b_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact countDistinct twin of a12 — SQL-expressible, so it carries the
+    full rows+schema+hash oracle check (the HLL sketch alone cannot)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
 
@@ -335,6 +400,10 @@ def f5_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "a12b_distinct_parts": """
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "p1_filter_project": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE lang IN ('en','de') AND n_chars > 200
@@ -359,17 +428,46 @@ ORACLES = {
         FROM c
     """,
     "p8_confidence_score": """
-        -- all operands cast to DOUBLE so IEEE addition order matches Spark
+        -- exact kernel formula (llm.py:143-165): planted headers, 1-based
+        -- first-occurrence positions (strpos ≡ Spark locate; both offset by
+        -- 1 vs Python find, so the |Δ|<500 proximity is identical), all
+        -- operands DOUBLE so IEEE addition order matches Spark
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 4 = 0 THEN 'LEGAL DESCRIPTION: ' || text
+                   WHEN doc_id % 4 = 1 THEN text
+                        || repeat(' pad', CAST(doc_id % 200 AS INT))
+                        || ' described as follows'
+                   WHEN doc_id % 4 = 2 THEN 'Property Description'
+                        || repeat(' pad', CAST(doc_id % 200 AS INT)) || text
+                   ELSE text END AS full_text
+          FROM documents),
+        m AS (
+          SELECT doc_id, full_text,
+                 substring(full_text, 1 + CAST(doc_id % 40 AS INT),
+                           80 + CAST(doc_id % 180 AS INT)) AS mt
+          FROM aug),
+        pos AS (
+          SELECT doc_id, mt,
+                 strpos(full_text, mt) AS mpos,
+                 strpos(lower(full_text), 'legal description') AS h1,
+                 strpos(lower(full_text), 'property description') AS h2,
+                 strpos(lower(full_text), 'described as follows') AS h3
+          FROM m)
         SELECT doc_id,
+               CAST(length(mt) AS BIGINT) AS match_len,
                least(CAST(0.5 AS DOUBLE)
-                     + CASE WHEN text LIKE '%legal description%'
+                     + CASE WHEN (h1 > 0 AND abs(mpos - h1) < 500)
+                              OR (h2 > 0 AND abs(mpos - h2) < 500)
+                              OR (h3 > 0 AND abs(mpos - h3) < 500)
                             THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-                     + CASE WHEN n_chars > 100
+                     + CASE WHEN length(mt) > 100
                             THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-                     + CASE WHEN n_chars > 200
+                     + CASE WHEN length(mt) > 200
                             THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
                      CAST(0.9 AS DOUBLE)) AS confidence
-        FROM documents
+        FROM pos
     """,
     "p9_error_classify": """
         SELECT CASE WHEN event_type <> 'error' THEN 'none'
@@ -510,6 +608,7 @@ QUERIES = {
     "f8_json_extract": f8_json_extract,
     "a11_rollup": a11_rollup,
     "a12_approx_distinct": a12_approx_distinct,
+    "a12b_distinct_parts": a12b_distinct_parts,
     "a13_pivot_counts": a13_pivot_counts,
     "j3_shipping_priority": j3_shipping_priority,
     "j5_nation_revenue": j5_nation_revenue,

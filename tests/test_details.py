@@ -49,7 +49,7 @@ def test_extract_parties_announcing_form():
 def test_deed_and_lease_details():
     dd = extract_deed_details(WARRANTY_DEED_SAMPLE)
     assert dd["grantors_interest"] == "the grantors undivided 1/2 interest in the property"
-    assert dd["interest_fraction"] == "undivided 1/2 interest"
+    assert dd["Interest_fraction"] == "undivided 1/2 interest"
     assert dd["subject_to"] == "subject to easements, restrictions and reservations of record"
     assert extract_deed_details("nothing relevant here") is None
     ld = extract_lease_details(

@@ -60,13 +60,21 @@ def test_e6_driver_tier_recovers_all_planted_pairs(spark):
 
 
 def test_e7_ann_recall_meets_target(spark):
+    """One gauge, three rows: both index families clear recall 0.8 on the
+    near-orthogonal worst case, and the clustered fixture shows the
+    realistic operating point (recall ≥0.9 at candidate fraction ≤0.1)."""
     from deed_ocr_spark.queries.similarity import e7_ann_recall
 
-    row = e7_ann_recall(spark, "/root/testdata/sf0.001").collect()[0]
-    assert row["n_queries"] == 500 and row["topk"] == 3
-    assert row["recall"] >= 0.8
-    # the tradeoff is visible: candidates are a strict subset of all pairs
-    assert 0.0 < row["candidate_fraction"] < 1.0
+    rows = {r["method"]: r for r in e7_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"lsh", "ivf", "lsh_clustered"}
+    for r in rows.values():
+        assert r["n_queries"] == 500 and r["topk"] == 3
+        # the tradeoff is visible: candidates are a strict subset of all pairs
+        assert 0.0 < r["candidate_fraction"] < 1.0
+    assert rows["lsh"]["recall"] >= 0.8
+    assert rows["ivf"]["recall"] >= 0.8
+    assert rows["lsh_clustered"]["recall"] >= 0.9
+    assert rows["lsh_clustered"]["candidate_fraction"] <= 0.1
 
 
 def test_e4_bucket_cap_bounds_candidates(spark):
@@ -86,12 +94,17 @@ def test_e4_bucket_cap_bounds_candidates(spark):
     assert per_q and all(r["n"] <= 8 for r in per_q)
 
 
-def test_e8_ivf_recall_meets_target(spark):
-    from deed_ocr_spark.queries.similarity import e8_ivf_recall
+def test_e7_sampled_gauge_bounds_ground_truth(spark):
+    """With a small max_queries the gauge still reports sane recall and the
+    ground-truth side shrinks to the sample (n_queries == ceil-sampled)."""
+    from deed_ocr_spark.queries.similarity import e7_ann_recall
 
-    row = e8_ivf_recall(spark, "/root/testdata/sf0.001").collect()[0]
-    assert row["recall"] >= 0.8
-    assert 0.0 < row["candidate_fraction"] < 1.0
+    rows = {
+        r["method"]: r
+        for r in e7_ann_recall(spark, "/root/testdata/sf0.001", max_queries=50).collect()
+    }
+    assert rows["lsh"]["n_queries"] == 50  # 500 vecs / mod 10
+    assert rows["lsh"]["recall"] >= 0.7  # small sample, looser floor
 
 
 def test_e5_list_cap_bounds_inverted_lists(spark):

@@ -47,6 +47,30 @@ def test_resize_bounds(spark):
         assert min(row["out_width"], row["out_height"]) >= 1
 
 
+def test_multimodal_pipeline_query_unions_all_stages(spark):
+    """The registered driver query must exercise all three kernels: its
+    per-stage row counts equal the standalone kernels' counts."""
+    from deed_ocr_spark.queries.extraction import (
+        m1_media_metadata,
+        m1_multimodal_pipeline,
+        m2_image_resize,
+        m3_video_frames,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["stage"]: r["n"]
+        for r in m1_multimodal_pipeline(spark, sf)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["decode"] == m1_media_metadata(spark, sf).count()
+    assert got["resize"] == m2_image_resize(spark, sf).count()
+    assert got["frames"] == m3_video_frames(spark, sf).count()
+    assert got["decode"] > 0 and got["resize"] > 0 and got["frames"] > 0
+
+
 def test_frame_sampling_fanout(spark):
     m = _media(spark)
     f = sample_frames(m, every_ms=1000, max_frames=8)
