@@ -86,6 +86,22 @@ def synth_media_table(spans_out: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, MEDIA_TABLE_DDL)
 
 
+def encode_payload_b64(media: DataFrame) -> DataFrame:
+    """Base64-encode the binary payload (F10): the reference converts page
+    PNG bytes to base64 strings for its API payloads
+    (utils/pdf_converter.py:91, ocr/gemini_ocr.py:215). Engine-native
+    ``F.base64`` — JVM-side, no Python; ``decode_payload_b64`` inverts it
+    byte-exactly. Binary columns otherwise stay binary end-to-end (the
+    base64 hop exists only where a text transport needs it)."""
+    return media.withColumn("payload_b64", F.base64("payload"))
+
+
+def decode_payload_b64(media: DataFrame) -> DataFrame:
+    """Inverse of ``encode_payload_b64`` (reference: base64.b64decode at
+    ocr/gemini_ocr.py:215): restores the binary payload column."""
+    return media.withColumn("payload", F.unbase64("payload_b64")).drop("payload_b64")
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode kernel: binary payload → dimensions/codec/feature hash.
 

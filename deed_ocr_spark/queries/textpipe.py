@@ -291,6 +291,13 @@ def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_src = _persisted(
         spark, ("shingles", sf_dir), lambda: _shingle_rows(spark, sf_dir)
     )
+    return ngram_jaccard_pairs_from(toks_src)
+
+
+def ngram_jaccard_pairs_from(toks_src: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Jaccard near-dup pairs from an existing (doc_id, sh) shingle table —
+    the composed query (d7) passes the persisted subtree; a multi-query
+    pipeline passes a materialized signatures table (signatures.py)."""
     toks = toks_src.withColumnRenamed("sh", "tok")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     cand = _band_pairs_from(_minhash_sig_from(toks_src))
@@ -314,7 +321,7 @@ def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", "jaccard")
 

@@ -47,6 +47,20 @@ def test_resize_bounds(spark):
         assert min(row["out_width"], row["out_height"]) >= 1
 
 
+def test_base64_round_trip_is_byte_exact(spark):
+    """F10: base64 encode/decode (the reference's API-transport hop) must
+    round-trip every payload byte-exactly, JVM-side."""
+    from deed_ocr_spark.multimodal import decode_payload_b64, encode_payload_b64
+
+    m = _media(spark).select("media_ref", "payload")
+    enc = encode_payload_b64(m)
+    assert dict(enc.dtypes)["payload_b64"] == "string"
+    back = decode_payload_b64(enc.select("media_ref", "payload_b64"))
+    orig = {r["media_ref"]: bytes(r["payload"]) for r in m.collect()}
+    got = {r["media_ref"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == orig and len(got) > 0
+
+
 def test_multimodal_pipeline_query_unions_all_stages(spark):
     """The registered driver query must exercise all three kernels: its
     per-stage row counts equal the standalone kernels' counts."""
