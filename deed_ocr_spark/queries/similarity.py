@@ -223,6 +223,190 @@ ORACLES = {
         SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
         FROM scored WHERE cos >= 0.8
     """,
+    # e7 with its defaults: the whole recall gauge — three ANN pipelines
+    # (LSH P=3/L=8 cap 512; IVF k=4/nprobe=3 cap 512; LSH P=6/L=2 over the
+    # deterministic clustered fixture), their candidate counts, and the
+    # sampled brute-force ground truths — reproduced in DuckDB, so even the
+    # MEASUREMENT is hash-checked, not just the pipelines it measures.
+    # Ground truth ranks on the raw double cosine (bit-identical across
+    # engines: elementwise DOUBLE casts in array order); ANN ranks on the
+    # 4-decimal rounded cosine (e4 discipline). smod mirrors
+    # ceil(n/max_queries) with max_queries=2000.
+    "e7_ann_recall": f"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        nst AS (
+          SELECT count(*) AS n,
+                 greatest(1, CAST(ceil(count(*) / 2000.0) AS INT)) AS smod
+          FROM base),
+        -- ---------- LSH worst case: P=3, L=8, cap 512 ----------
+        l_planes AS (
+          SELECT CAST((vec_id - 1) // 3 AS INT) AS tbl,
+                 CAST((vec_id - 1) % 3 AS INT) AS pl,
+                 embedding AS plane
+          FROM base WHERE vec_id BETWEEN 1 AND 24),
+        l_sign AS (
+          SELECT e.vec_id, p.tbl,
+                 CASE WHEN {_DOT_SQL.format(a='e.embedding', b='p.plane')} > 0
+                      THEN (1 << p.pl) ELSE 0 END AS bitval
+          FROM base e, l_planes p),
+        l_buckets AS (
+          SELECT vec_id, tbl, CAST(SUM(bitval) AS INT) AS bucket
+          FROM l_sign GROUP BY vec_id, tbl),
+        l_capped AS (
+          SELECT vec_id, tbl, bucket,
+                 row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS crk
+          FROM l_buckets),
+        l_pairs AS (
+          SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cand
+          FROM l_buckets p
+          JOIN l_capped c ON c.tbl = p.tbl AND c.bucket = p.bucket AND c.crk <= 512
+          WHERE p.vec_id <> c.vec_id),
+        l_ann AS (
+          SELECT qid, cand FROM (
+            SELECT pr.qid, pr.cand,
+                   row_number() OVER (PARTITION BY pr.qid ORDER BY
+                     round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                           / ({_NORM_SQL.format(a='q.embedding')}
+                              * {_NORM_SQL.format(a='c.embedding')}), 4) DESC,
+                     pr.cand ASC) AS rk
+            FROM l_pairs pr
+            JOIN base q ON q.vec_id = pr.qid
+            JOIN base c ON c.vec_id = pr.cand)
+          WHERE rk <= 3),
+        -- ---------- IVF: k_cells=4, nprobe=3, list cap 512 ----------
+        i_cents AS (
+          SELECT vec_id AS cell, embedding AS cv FROM base WHERE vec_id < 4),
+        i_scored AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 {_DOT_SQL.format(a='e.embedding', b='c.cv')}
+                   / ({_NORM_SQL.format(a='e.embedding')}
+                      * {_NORM_SQL.format(a='c.cv')}) AS sim
+          FROM base e, i_cents c),
+        i_assigned AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell ASC) AS ark
+          FROM i_scored),
+        i_probes AS (SELECT cell, vec_id AS qid FROM i_assigned WHERE ark <= 3),
+        i_lists AS (
+          SELECT cell, cand FROM (
+            SELECT cell, vec_id AS cand,
+                   row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crk
+            FROM i_assigned WHERE ark = 1)
+          WHERE crk <= 512),
+        i_pairs AS (
+          SELECT DISTINCT p.qid, l.cand
+          FROM i_probes p JOIN i_lists l ON l.cell = p.cell
+          WHERE p.qid <> l.cand),
+        i_ann AS (
+          SELECT qid, cand FROM (
+            SELECT pr.qid, pr.cand,
+                   row_number() OVER (PARTITION BY pr.qid ORDER BY
+                     round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                           / ({_NORM_SQL.format(a='q.embedding')}
+                              * {_NORM_SQL.format(a='c.embedding')}), 4) DESC,
+                     pr.cand ASC) AS rk
+            FROM i_pairs pr
+            JOIN base q ON q.vec_id = pr.qid
+            JOIN base c ON c.vec_id = pr.cand)
+          WHERE rk <= 3),
+        -- ---------- clustered fixture: 16 seeds, eps 0.15 ----------
+        seeds AS (
+          SELECT vec_id AS cl, embedding AS sv,
+                 {_NORM_SQL.format(a='embedding')} AS ns
+          FROM base WHERE vec_id < 16),
+        member AS (
+          SELECT vec_id, embedding, vec_id % 16 AS cl,
+                 {_NORM_SQL.format(a='embedding')} AS nm
+          FROM base),
+        cbase AS (
+          SELECT m.vec_id,
+                 (list_transform(list_zip(s.sv, m.embedding),
+                    x -> CAST(x[1] AS DOUBLE) / s.ns
+                         + 0.15 * CAST(x[2] AS DOUBLE) / m.nm))::FLOAT[]
+                   AS embedding
+          FROM member m JOIN seeds s ON s.cl = m.cl),
+        -- ---------- LSH over the clustered fixture: P=6, L=2, cap 512 ----
+        c_planes AS (
+          SELECT CAST((vec_id - 1) // 6 AS INT) AS tbl,
+                 CAST((vec_id - 1) % 6 AS INT) AS pl,
+                 embedding AS plane
+          FROM cbase WHERE vec_id BETWEEN 1 AND 12),
+        c_sign AS (
+          SELECT e.vec_id, p.tbl,
+                 CASE WHEN {_DOT_SQL.format(a='e.embedding', b='p.plane')} > 0
+                      THEN (1 << p.pl) ELSE 0 END AS bitval
+          FROM cbase e, c_planes p),
+        c_buckets AS (
+          SELECT vec_id, tbl, CAST(SUM(bitval) AS INT) AS bucket
+          FROM c_sign GROUP BY vec_id, tbl),
+        c_capped AS (
+          SELECT vec_id, tbl, bucket,
+                 row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS crk
+          FROM c_buckets),
+        c_pairs AS (
+          SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cand
+          FROM c_buckets p
+          JOIN c_capped c ON c.tbl = p.tbl AND c.bucket = p.bucket AND c.crk <= 512
+          WHERE p.vec_id <> c.vec_id),
+        c_ann AS (
+          SELECT qid, cand FROM (
+            SELECT pr.qid, pr.cand,
+                   row_number() OVER (PARTITION BY pr.qid ORDER BY
+                     round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                           / ({_NORM_SQL.format(a='q.embedding')}
+                              * {_NORM_SQL.format(a='c.embedding')}), 4) DESC,
+                     pr.cand ASC) AS rk
+            FROM c_pairs pr
+            JOIN cbase q ON q.vec_id = pr.qid
+            JOIN cbase c ON c.vec_id = pr.cand)
+          WHERE rk <= 3),
+        -- ---------- sampled brute-force ground truths ----------
+        gt AS (
+          SELECT qid, cand FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cand,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                       / ({_NORM_SQL.format(a='q.embedding')}
+                          * {_NORM_SQL.format(a='c.embedding')}) DESC,
+                     c.vec_id ASC) AS rk
+            FROM base q, nst, base c
+            WHERE q.vec_id % nst.smod = 0 AND q.vec_id <> c.vec_id)
+          WHERE rk <= 3),
+        cgt AS (
+          SELECT qid, cand FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cand,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                       / ({_NORM_SQL.format(a='q.embedding')}
+                          * {_NORM_SQL.format(a='c.embedding')}) DESC,
+                     c.vec_id ASC) AS rk
+            FROM cbase q, nst, cbase c
+            WHERE q.vec_id % nst.smod = 0 AND q.vec_id <> c.vec_id)
+          WHERE rk <= 3),
+        nq AS (
+          SELECT count(*) AS n_q FROM base, nst WHERE vec_id % nst.smod = 0)
+        SELECT 'lsh' AS method, CAST(nq.n_q AS INT) AS n_queries, 3 AS topk,
+               round((SELECT count(*) FROM gt JOIN l_ann USING (qid, cand))
+                     / (nq.n_q * 3.0), 4) AS recall,
+               round((SELECT count(*) FROM l_pairs)
+                     / (nst.n * (nst.n - 1.0)), 4) AS candidate_fraction
+        FROM nq, nst
+        UNION ALL
+        SELECT 'ivf', CAST(nq.n_q AS INT), 3,
+               round((SELECT count(*) FROM gt JOIN i_ann USING (qid, cand))
+                     / (nq.n_q * 3.0), 4),
+               round((SELECT count(*) FROM i_pairs)
+                     / (nst.n * (nst.n - 1.0)), 4)
+        FROM nq, nst
+        UNION ALL
+        SELECT 'lsh_clustered', CAST(nq.n_q AS INT), 3,
+               round((SELECT count(*) FROM cgt JOIN c_ann USING (qid, cand))
+                     / (nq.n_q * 3.0), 4),
+               round((SELECT count(*) FROM c_pairs)
+                     / (nst.n * (nst.n - 1.0)), 4)
+        FROM nq, nst
+    """,
     # e4 with its defaults (P=6 planes × L=4 tables, cap 256, top-3): the
     # full multi-table LSH ANN pipeline is SQL-expressible, so the scale
     # path gets the strongest check (rows + schema + value hash), not a
