@@ -165,6 +165,71 @@ def run_sessionize_stream(
     )
 
 
+# --- watermarked windowed aggregation: the late-data story -------------------
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts per event_type with a watermark.
+
+    The watermark is what makes an unbounded stream's aggregation state
+    bounded: rows later than (max event time seen − watermark) are dropped,
+    and a window's state is evicted once the watermark passes its end — at
+    which point append mode emits the finalized row exactly once. Late rows
+    WITHIN the watermark still merge into their window before it finalizes.
+    Counters are partial-aggregated map-side per micro-batch; the shuffle
+    key is (window, event_type), the same bounded-cardinality shape as the
+    batch a-queries.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        src.groupBy(F.window("ts", window_dur), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("double")), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """availableNow catch-up run of the watermarked windowed counts; append
+    mode → each finalized window lands in the parquet sink exactly once
+    (the file-sink manifest + source offsets in the checkpoint make
+    re-runs exactly-once)."""
+    return (
+        stream_windowed_counts(spark, input_dir, window_dur, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,

@@ -45,6 +45,58 @@ def test_streaming_matches_golden_and_is_incremental(spark, tmp_path):
         assert len({o for o, *_ in seq}) == len(seq)
 
 
+def test_watermarked_window_drops_too_late_keeps_within(spark, tmp_path):
+    """Watermark semantics end-to-end: a late row inside the watermark
+    merges into its window; a row later than the watermark is dropped; each
+    finalized window is emitted exactly once (append mode).
+
+    Wave 1 sets max event time 12:05 → watermark 11:35. Wave 2 carries a
+    within-watermark late row (11:45), a too-late row (10:00 — dropped),
+    and a fresh row (13:00) advancing the watermark to 12:30. Wave 3
+    (14:00) flushes the remaining finalized windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.streaming import EVENTS_SCHEMA, run_windowed_stream
+
+    in_dir = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "win_out")
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    def write_wave(rows):
+        spark.createDataFrame(
+            [(i, t, 1, k, 1.0, None) for i, (t, k) in enumerate(rows)],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_wave([(ts(12, 0), "click"), (ts(12, 5), "click")])
+    run_windowed_stream(spark, in_dir, ckpt, out).awaitTermination(120)
+
+    write_wave([(ts(11, 45), "view"), (ts(10, 0), "click"), (ts(13, 0), "view")])
+    run_windowed_stream(spark, in_dir, ckpt, out).awaitTermination(120)
+
+    write_wave([(ts(14, 0), "click")])
+    run_windowed_stream(spark, in_dir, ckpt, out).awaitTermination(120)
+
+    got = {
+        (r["win_start"].strftime("%H:%M"), r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(("12:00", "click")) == 2  # on-time window, emitted once
+    assert got.get(("11:40", "view")) == 1  # late but within watermark
+    assert ("10:00", "click") not in got  # beyond the watermark: dropped
+    # the 13:00 window is only finalized (and emitted) after wave 3 advanced
+    # the watermark past 13:10
+    assert got.get(("13:00", "view")) == 1
+    # exactly-once: no window/type pair appears twice in the sink
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(got)
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization: two availableNow catch-up runs
     over time-split event waves must end at exactly the batch w3_sessionize
