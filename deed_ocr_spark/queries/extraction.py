@@ -154,8 +154,12 @@ def m3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-stage functions above keep their own pytest coverage.
 def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deed_ocr_spark.multimodal import decode_media, resize_images, sample_frames
+    from deed_ocr_spark.queries.textpipe import _persisted
 
-    media = _media_table(spark, sf_dir)
+    # one media table feeds all three kernels: persist it (keyed, one copy
+    # per session) so the corpus extraction runs once, not three times —
+    # in production the media table IS its own table and this is a scan
+    media = _persisted(spark, ("media", sf_dir), lambda: _media_table(spark, sf_dir))
     dec = decode_media(media).select(
         F.lit("decode").alias("stage"),
         "doc_id",
