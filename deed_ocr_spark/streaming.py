@@ -165,6 +165,131 @@ def run_sessionize_stream(
     )
 
 
+# --- watermarked sessionization: late-data-correct session finalization ------
+WSESSION_OUT_DDL = (
+    "user_id bigint, sess_start timestamp, sess_end timestamp, n_events bigint"
+)
+# open session intervals carried per user, as parallel arrays (merged by the
+# gap rule each batch; bounded by watermark eviction, never by corpus size)
+WSESSION_STATE_DDL = "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+
+
+def _wsessionize_group(key, pdf_iter, state):
+    """applyInPandasWithState kernel with EventTimeTimeout: exact session
+    records under late data.
+
+    Unlike ``_sessionize_group`` (which assumes per-user time-ordered
+    arrival), this keeps every OPEN session interval (start_ms, end_ms,
+    n_events) in state and merges each micro-batch's events into them by
+    the same gap rule as batch w3_sessionize (gap > SESSION_GAP_MS starts a
+    new session). A session is finalized — emitted exactly once — only when
+    the watermark passes ``end + gap``: Spark has already dropped any event
+    older than the watermark, so no surviving event can extend it. Late
+    events WITHIN the watermark land in their correct session before it
+    finalizes, even if they bridge two open intervals into one. The
+    event-time timeout finalizes sessions for users with no new arrivals.
+
+    State is bounded: a user holds only intervals whose end is within one
+    gap+watermark of the max event time — O(active sessions), independent
+    of history length. This is the production late-data answer flagged in
+    the r2 sessionize docstring.
+    """
+    import pandas as pd
+
+    gap = SESSION_GAP_MS
+    if state.exists:
+        starts, ends, counts = state.get
+        intervals = [list(iv) for iv in zip(starts, ends, counts)]
+    else:
+        intervals = []
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            for ms in pdf["ms"].astype("int64"):
+                intervals.append([int(ms), int(ms), 1])
+    intervals.sort()
+    merged = []
+    for s, e, c in intervals:
+        if merged and s - merged[-1][1] <= gap:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += c
+        else:
+            merged.append([s, e, c])
+    wm = state.getCurrentWatermarkMs()
+    done = [iv for iv in merged if iv[1] + gap < wm]
+    open_ = [iv for iv in merged if iv[1] + gap >= wm]
+    if open_:
+        state.update(
+            (
+                [iv[0] for iv in open_],
+                [iv[1] for iv in open_],
+                [iv[2] for iv in open_],
+            )
+        )
+        # fire once the watermark can finalize the oldest open interval;
+        # open_ guarantees min_end + gap >= wm, so the timestamp is legal
+        state.setTimeoutTimestamp(min(iv[1] for iv in open_) + gap + 1)
+    else:
+        state.remove()
+    if done:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(done),
+                "sess_start": pd.to_datetime([iv[0] for iv in done], unit="ms"),
+                "sess_end": pd.to_datetime([iv[1] for iv in done], unit="ms"),
+                "n_events": [iv[2] for iv in done],
+            }
+        )
+
+
+def stream_sessionize_watermarked(
+    spark: SparkSession, input_dir: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Finalized (user_id, sess_start, sess_end, n_events) session records
+    over an events file source, append-mode, late-data-correct up to
+    ``watermark``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _wsessionize_group,
+        WSESSION_OUT_DDL,
+        WSESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_wsessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "30 minutes",
+):
+    """availableNow catch-up run; finalized sessions append to a parquet
+    sink exactly once (file-sink manifest + checkpoint offsets)."""
+    return (
+        stream_sessionize_watermarked(spark, input_dir, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # --- watermarked windowed aggregation: the late-data story -------------------
 def stream_windowed_counts(
     spark: SparkSession,

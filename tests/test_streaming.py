@@ -140,3 +140,110 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in w3_sessionize(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_watermarked_sessionize_late_merge_bridge_and_exactly_once(spark, tmp_path):
+    """EventTimeTimeout sessionization: late-within-watermark events merge
+    into (and can BRIDGE) open sessions; too-late events are dropped; each
+    finalized session is emitted exactly once, via the timeout path for
+    users with no new arrivals.
+
+    Watermark delay 30 min, session gap 30 min. Wave 1: user 1 at
+    12:00/12:10 (one open session); user 4 at 12:00 and 12:34 (two open
+    sessions, gap 34 min); global watermark after the wave = 12:04. Wave 2:
+    user 1 late 12:05 (within watermark — merges); user 4 late 12:17
+    (bridges its two sessions into one 12:00–12:34 session); user 2 at
+    18:00 advances the watermark to 17:30 (availableNow's trailing
+    no-data batch then finalizes user 1/4 via the timeout path). Wave 3:
+    user 1 at 11:00 is BEYOND the watermark (dropped — no spurious new
+    session may appear); user 2 at 23:00 advances the watermark to 22:30,
+    flushing user 2's 18:00 session. Wave 4: user 3 at 23:59 stays open —
+    open sessions must not reach the append sink."""
+    import datetime as dt
+
+    from deed_ocr_spark.streaming import EVENTS_SCHEMA, run_wsessionize_stream
+
+    in_dir = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sess_out")
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    def write_wave(rows):
+        spark.createDataFrame(
+            [(i, t, u, "click", 1.0, None) for i, (u, t) in enumerate(rows)],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        run_wsessionize_stream(spark, in_dir, ckpt, out).awaitTermination(120)
+
+    write_wave([(1, ts(12, 0)), (1, ts(12, 10)), (4, ts(12, 0)), (4, ts(12, 34))])
+    run()
+    write_wave([(1, ts(12, 5)), (4, ts(12, 17)), (2, ts(18, 0))])
+    run()
+    write_wave([(1, ts(11, 0)), (2, ts(23, 0))])
+    run()
+    write_wave([(3, ts(23, 59))])
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    got = {
+        (r["user_id"], r["sess_start"].strftime("%H:%M"),
+         r["sess_end"].strftime("%H:%M"), r["n_events"])
+        for r in rows
+    }
+    assert (1, "12:00", "12:10", 3) in got  # late merged, too-late dropped
+    assert (4, "12:00", "12:34", 3) in got  # late event bridged two sessions
+    assert (2, "18:00", "18:00", 1) in got  # flushed by wave 3's watermark
+    # still-open sessions (23:00, 23:59) must NOT be in the sink yet, and no
+    # session may appear twice (exactly-once append)
+    assert len(rows) == 3
+
+
+def test_watermarked_sessionize_equals_batch_after_flush(spark, tmp_path):
+    """Cross-check against the oracle-backed batch query: feed the whole
+    sf0.001 events table in one wave (watermark 0 → everything merges),
+    then a far-future sentinel event to advance the watermark past every
+    session. The finalized session records, re-aggregated per user, must
+    equal batch w3_sessionize exactly — same gap rule, different engine
+    path (stateful streaming vs window+lag)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.queries.relational import w3_sessionize
+    from deed_ocr_spark.streaming import EVENTS_SCHEMA, run_wsessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sess_out")
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    events.coalesce(2).write.mode("overwrite").parquet(in_dir)
+    run_wsessionize_stream(spark, in_dir, ckpt, out).awaitTermination(300)
+
+    far = events.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=10)
+    spark.createDataFrame(
+        [(0, far, 999_999_999, "flush", 0.0, None)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_wsessionize_stream(spark, in_dir, ckpt, out).awaitTermination(300)
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.read.parquet(out)
+        .filter(F.col("user_id") != 999_999_999)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in w3_sessionize(spark, sf).collect()
+    }
+    assert got == expected
