@@ -79,9 +79,24 @@ _ROYALTY_RE = re.compile(r"\b(\d+\s*/\s*\d+|\d+(?:\.\d+)?\s*%)\s+royalty\b", re.
 _LEASE_TERM_RE = re.compile(r"\bterm\s+of\s+(\d+\s+years?)\b", re.I)
 
 
-def classify_document(text: str) -> Optional[Tuple[str, str]]:
-    for pat, typ, sub in _DOC_TYPES:
-        if pat.search(text):
+# Lowercase literal each taxonomy regex requires — the same short-circuit
+# trick as kernels/legal.py's _PATTERN_GUARDS: `literal in lower` is a
+# memchr-speed scan that skips the regex engine on pages that can't match.
+_DOC_TYPE_GUARDS = [
+    "warranty", "quitclaim", "mineral", "deed", "lease",
+    "heirship", "quiet", "lease", "decree", "stipulation", "deed",
+]
+
+_CLASSIFY_ANY = ("deed", "lease", "decree", "stipulation")
+
+
+def classify_document(text: str, lower: Optional[str] = None) -> Optional[Tuple[str, str]]:
+    if lower is None:
+        lower = text.lower()
+    if not any(g in lower for g in _CLASSIFY_ANY):
+        return None
+    for guard, (pat, typ, sub) in zip(_DOC_TYPE_GUARDS, _DOC_TYPES):
+        if guard in lower and pat.search(text):
             return typ, sub
     return None
 
@@ -91,8 +106,14 @@ def _singular(role: str) -> str:
     return role[:-1] if role.endswith("s") and not role.endswith("ss") else role
 
 
+# _PARTY_RE is case-SENSITIVE on the role word, so guard on the raw text
+_PARTY_STEMS = ("grantor", "grantee", "lessor", "lessee", "plaintiff", "defendant")
+
+
 def extract_parties(text: str) -> Dict[str, List[str]]:
     parties: Dict[str, List[str]] = {}
+    if not any(stem in text for stem in _PARTY_STEMS):
+        return parties
     for m in _PARTY_RE.finditer(text):
         role = _singular(m.group(1))
         names = [n.strip() for n in re.split(r"\s+AND\s+", m.group(2)) if n.strip()]
@@ -103,53 +124,64 @@ def extract_parties(text: str) -> Dict[str, List[str]]:
     return parties
 
 
-def extract_deed_details(text: str) -> Optional[Dict[str, str]]:
+def extract_deed_details(text: str, lower: Optional[str] = None) -> Optional[Dict[str, str]]:
+    if lower is None:
+        lower = text.lower()
     out: Dict[str, str] = {}
-    m = _GRANTOR_INTEREST_RE.search(text)
-    if m:
-        out["grantors_interest"] = m.group(0)
-    m = _INTEREST_FRACTION_RE.search(text)
-    if m:
-        # key case follows the reference prompt schema verbatim
-        # (gemini_ocr.py:561 names it "Interest_fraction", capital I)
-        out["Interest_fraction"] = m.group(0)
-    m = _SUBJECT_TO_RE.search(text)
-    if m:
-        out["subject_to"] = m.group(0)
+    if "undivided" in lower:
+        m = _GRANTOR_INTEREST_RE.search(text)
+        if m:
+            out["grantors_interest"] = m.group(0)
+        m = _INTEREST_FRACTION_RE.search(text)
+        if m:
+            # key case follows the reference prompt schema verbatim
+            # (gemini_ocr.py:561 names it "Interest_fraction", capital I)
+            out["Interest_fraction"] = m.group(0)
+    if "subject" in lower:
+        m = _SUBJECT_TO_RE.search(text)
+        if m:
+            out["subject_to"] = m.group(0)
     # "If no values are found … set the entire object to None" (prompt :587)
     return out or None
 
 
-def extract_lease_details(text: str) -> Optional[Dict[str, str]]:
+def extract_lease_details(text: str, lower: Optional[str] = None) -> Optional[Dict[str, str]]:
+    if lower is None:
+        lower = text.lower()
     out: Dict[str, str] = {}
-    m = _ACREAGE_RE.search(text)
-    if m:
-        out["gross_acreage"] = m.group(1)
-    m = _ROYALTY_RE.search(text)
-    if m:
-        out["lease_royalty"] = m.group(1)
-    m = _LEASE_TERM_RE.search(text)
-    if m:
-        out["lease_term"] = m.group(1)
+    if "acre" in lower:
+        m = _ACREAGE_RE.search(text)
+        if m:
+            out["gross_acreage"] = m.group(1)
+    if "royalty" in lower:
+        m = _ROYALTY_RE.search(text)
+        if m:
+            out["lease_royalty"] = m.group(1)
+    if "term" in lower:
+        m = _LEASE_TERM_RE.search(text)
+        if m:
+            out["lease_term"] = m.group(1)
     return out or None
 
 
 def page_details(text: str) -> Dict:
     """Per-page ``details`` dict (the reference's per-page LLM result)."""
     d: Dict = {}
-    dt = classify_document(text)
+    lower = text.lower()
+    dt = classify_document(text, lower)
     if dt:
         d["document_type"], d["document_subtype"] = dt
     parties = extract_parties(text)
     if parties:
         d["parties"] = parties
-    trs = ordered_dedup([m.group(0) for m in _TRS_PAT.finditer(text)])
-    if trs:
-        d["TRS"] = trs
+    if "section" in lower:
+        trs = ordered_dedup([m.group(0) for m in _TRS_PAT.finditer(text)])
+        if trs:
+            d["TRS"] = trs
     if dt and dt[0] == "Deed":
-        d["deed_details"] = extract_deed_details(text)
+        d["deed_details"] = extract_deed_details(text, lower)
     if dt and dt[0] == "Lease":
-        d["lease_details"] = extract_lease_details(text)
+        d["lease_details"] = extract_lease_details(text, lower)
     return d
 
 

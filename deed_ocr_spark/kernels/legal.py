@@ -52,23 +52,43 @@ PATTERNS: Dict[str, "re.Pattern[str]"] = {
 HEADER_KEYWORDS = ("legal description", "property description", "described as follows")
 
 
-def extract_with_regex(text: str) -> List[Tuple[str, int, int]]:
+# Cheap lowercase literals each pattern REQUIRES (implied by the regex:
+# lot_block needs "Lot…", STR needs "Section…", metes needs "Beginning…").
+# Scanning `literal in lower` first skips the regex engine entirely on the
+# (common) pages that can't match — a pure short-circuit, so match output
+# is byte-identical. This is the kernel hot path at 100 TB.
+_PATTERN_GUARDS: Dict[str, str] = {
+    "lot_block": "lot",
+    "section_township_range": "section",
+    "metes_bounds_start": "beginning",
+}
+
+
+def extract_with_regex(text: str, lower: str | None = None) -> List[Tuple[str, int, int]]:
     """All (match, start, end) for the non-header patterns, in pattern order
     then position order — the reference's enumeration order
-    (extractors/regex.py:44-51, dict order is insertion order)."""
+    (extractors/regex.py:44-51, dict order is insertion order). ``lower``
+    may carry a precomputed ``text.lower()`` to avoid re-lowering."""
+    if lower is None:
+        lower = text.lower()
     matches: List[Tuple[str, int, int]] = []
     for name, pattern in PATTERNS.items():
         if name == "legal_desc_header":
+            continue
+        if _PATTERN_GUARDS[name] not in lower:
             continue
         for m in pattern.finditer(text):
             matches.append((m.group(0), m.start(), m.end()))
     return matches
 
 
-def traditional_confidence(match_text: str, full_text: str) -> float:
+def traditional_confidence(
+    match_text: str, full_text: str, lower: str | None = None
+) -> float:
     """Confidence score, byte-parity with extractors/llm.py:143-165."""
     confidence = 0.5
-    lower = full_text.lower()
+    if lower is None:
+        lower = full_text.lower()
     for header in HEADER_KEYWORDS:
         if header in lower:
             header_pos = lower.find(header)
@@ -132,14 +152,15 @@ def find_descriptions_in_pages(page_texts: Sequence[str]) -> List[Description]:
     (extractors/llm.py:60-141 step 4, with LLM/layout steps absent)."""
     all_desc: List[Description] = []
     for page_number, text in enumerate(page_texts, 1):
-        for match_text, start, end in extract_with_regex(text):
+        lower = text.lower()
+        for match_text, start, end in extract_with_regex(text, lower):
             all_desc.append(
                 Description(
                     text=match_text,
                     page_number=page_number,
                     start_char=start,
                     end_char=end,
-                    confidence=traditional_confidence(match_text, text),
+                    confidence=traditional_confidence(match_text, text, lower),
                 )
             )
     return dedup_descriptions(all_desc)
@@ -161,17 +182,23 @@ def doc_legal_summary(pages: Sequence[str], combined: str) -> Dict[str, List[str
     for d in page_descs:  # collect-with-dedup, workflow.py:501-509
         if d.text and d.text not in pages_ld:
             pages_ld.append(d.text)
-    fulldoc_ld = [m[0] for m in extract_with_regex(combined)]
+    combined_lower = combined.lower()
+    fulldoc_ld = [m[0] for m in extract_with_regex(combined, combined_lower)]
     legal = ordered_dedup(merge_final_lists(fulldoc_ld, pages_ld))
 
     trs_pat = PATTERNS["section_township_range"]
     pages_trs: List[str] = []
     for text in pages:
+        if "section" not in text.lower():
+            continue
         for m in trs_pat.finditer(text):
             v = m.group(0)
             if v and v not in pages_trs:
                 pages_trs.append(v)
-    fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
+    if "section" in combined_lower:
+        fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
+    else:
+        fulldoc_trs = []
     trs = ordered_dedup(merge_final_lists(pages_trs, fulldoc_trs))
     return {"legal_description_block": legal, "trs": trs}
 
