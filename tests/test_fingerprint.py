@@ -100,3 +100,33 @@ def test_winnow_recall_long_verbatim_overlap(spark):
     fps = spark.createDataFrame(rows, "doc_id bigint, fp bigint")
     out = winnow_dup_pairs_from(fps, min_shared=1, max_df=64).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+
+
+def test_winnow_arrays_many_matches_scalar_property():
+    """The batched kernel (one pass over the concatenated batch) must be
+    byte-identical per document to the scalar winnow_arrays for arbitrary
+    (k, w) and adversarial inputs: empty docs, docs shorter than k, docs
+    with m <= w (single-pick rule), unicode, and repeated characters (tie
+    storms exercising the rightmost-min rule)."""
+    import random
+    import string
+
+    import numpy as np
+
+    from deed_ocr_spark.kernels.fingerprint import winnow_arrays, winnow_arrays_many
+
+    rng = random.Random(11)
+    texts = ["", "a", "aaaaaaaaaaaaaaaaaaaa", "ababababab" * 4, "é¼ß" * 10]
+    for _ in range(300):
+        n = rng.randint(0, 150)
+        texts.append(
+            "".join(rng.choice(string.ascii_lowercase[:4] + "  ") for _ in range(n))
+        )
+    for k, w in [(8, 4), (16, 8), (2, 3), (5, 1), (3, 40)]:
+        di, hs, ps = winnow_arrays_many(texts, k=k, w=w)
+        assert np.all(di[:-1] <= di[1:])  # per-document contiguity
+        for i, t in enumerate(texts):
+            eh, ep = winnow_arrays(t, k=k, w=w)
+            mask = di == i
+            assert np.array_equal(hs[mask], eh), (k, w, i, t)
+            assert np.array_equal(ps[mask], ep), (k, w, i, t)
