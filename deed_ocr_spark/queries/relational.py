@@ -230,6 +230,36 @@ def j1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- J6: as-of join (time-series point-in-time lookup) ----------------------
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each odd event (query), the latest even event (state) of the
+    same user at or before its timestamp — the canonical point-in-time
+    lookup, via the union-marker single-shuffle operator in queries/asof.py
+    (no range-join explosion). Right timestamps are unique per user in this
+    corpus; with ties the operator keeps the last right row in (ts, marker)
+    window order. Oracle: DuckDB's native ASOF JOIN."""
+    from deed_ocr_spark.queries.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", F.col("ts").alias("l_ts")
+    )
+    right = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    return asof_join(
+        left, right, on=["user_id"], left_ts="l_ts", right_ts="r_ts",
+        right_cols=["r_event_id", "r_value"], how="inner",
+    ).select("event_id", "user_id", "r_event_id", "r_value")
+
+
+
+
 # --- W2/W4: top-k per group via window ------------------------------------
 def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
@@ -517,6 +547,15 @@ ORACLES = {
           ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
         GROUP BY o_orderpriority
     """,
+    "j6_asof_join": """
+        WITH l AS (SELECT event_id, user_id, ts AS l_ts FROM events
+                   WHERE event_id % 2 = 1),
+             r AS (SELECT user_id, ts AS r_ts, event_id AS r_event_id,
+                          value AS r_value FROM events WHERE event_id % 2 = 0)
+        SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
+        FROM l ASOF JOIN r
+          ON l.user_id = r.user_id AND l.l_ts >= r.r_ts
+    """,
     "w2_topk_per_group": """
         SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
           SELECT l_orderkey, l_linenumber, l_extendedprice,
@@ -627,6 +666,7 @@ QUERIES = {
     "j2_join_agg": j2_join_agg,
     "j4_resume_antijoin": j4_resume_antijoin,
     "j1_range_join": j1_range_join,
+    "j6_asof_join": j6_asof_join,
     "w2_topk_per_group": w2_topk_per_group,
     "w3_sessionize": w3_sessionize,
 }

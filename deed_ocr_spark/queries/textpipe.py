@@ -629,14 +629,17 @@ def d14_training_keeplist(
     )
 
 
-# d12_winnow_fingerprints is NOT registered (50-row driver cap): the
-# winnowing kernel runs inside registered d13 every round, and d12's own
-# output is naive-reference cross-checked in tests/test_fingerprint.py.
+# NOT registered (50-row driver cap): d12_winnow_fingerprints — the
+# winnowing kernel runs inside registered d13 every round and d12's own
+# output is naive-reference cross-checked in tests/test_fingerprint.py —
+# and d10_minhash_fast_pairs, the xxhash64 production twin of registered
+# d9 (pytest asserts their candidate sets agree; d6b remains registered as
+# the fast-twin exemplar). Demotions freed the slot for the oracle-backed
+# j6_asof_join.
 QUERIES = {
     "d14_training_keeplist": d14_training_keeplist,
     "d13_winnow_dup_pairs": d13_winnow_dup_pairs,
     "d11_bpe_token_count": d11_bpe_token_count,
-    "d10_minhash_fast_pairs": d10_minhash_fast_pairs,
     "d1_dedup_exact": d1_dedup_exact,
     "d2_token_count": d2_token_count,
     "d3_lang_id": d3_lang_id,
