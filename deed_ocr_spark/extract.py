@@ -180,6 +180,7 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     from deed_ocr_spark.kernels.details import doc_details_json
+    from deed_ocr_spark.kernels.legal import extract_with_regex_tagged, scan_pages
 
     # One stable sort of the whole batch replaces a per-group sort_values +
     # boolean .loc (2000 pandas calls/batch was the measured constant
@@ -197,7 +198,16 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
         g_kinds = kinds[lo:hi]
         pages = [t for t, k in zip(texts[lo:hi], g_kinds) if k == "text"]
         combined = page_concat(pages)
-        summary = doc_legal_summary(pages, combined)
+        # ONE lower() + tagged regex pass per page and per combined text,
+        # shared by the legal-summary and details paths (each used to
+        # rescan the STR pattern independently — the measured hot spot).
+        page_scans = scan_pages(pages)
+        combined_lower = combined.lower()
+        combined_scan = (
+            combined_lower,
+            extract_with_regex_tagged(combined, combined_lower),
+        )
+        summary = doc_legal_summary(pages, combined, page_scans, combined_scan)
         recs.append(
             (
                 doc_id,
@@ -207,7 +217,7 @@ def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
                 len(combined),
                 summary["legal_description_block"],
                 summary["trs"],
-                doc_details_json(pages),
+                doc_details_json(pages, page_scans),
             )
         )
     return pd.DataFrame(

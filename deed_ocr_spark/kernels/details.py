@@ -26,7 +26,7 @@ import json
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from deed_ocr_spark.kernels.legal import PATTERNS
+from deed_ocr_spark.kernels.legal import PATTERNS, _finditer_str
 from deed_ocr_spark.kernels.mergeops import dedup_sweep, merge_details
 from deed_ocr_spark.kernels.textops import ordered_dedup
 
@@ -164,20 +164,34 @@ def extract_lease_details(text: str, lower: Optional[str] = None) -> Optional[Di
     return out or None
 
 
-def page_details(text: str) -> Dict:
-    """Per-page ``details`` dict (the reference's per-page LLM result)."""
+def page_details(
+    text: str,
+    lower: Optional[str] = None,
+    trs_matches: Optional[List[str]] = None,
+) -> Dict:
+    """Per-page ``details`` dict (the reference's per-page LLM result).
+
+    ``lower``/``trs_matches`` may carry a precomputed lowercase text and the
+    page's STR matches in position order (the projection of one tagged
+    regex pass, kernels/legal.py ``extract_with_regex_tagged``) so the
+    fused summaries kernel never lowers or regex-scans a page twice."""
     d: Dict = {}
-    lower = text.lower()
+    if lower is None:
+        lower = text.lower()
     dt = classify_document(text, lower)
     if dt:
         d["document_type"], d["document_subtype"] = dt
     parties = extract_parties(text)
     if parties:
         d["parties"] = parties
-    if "section" in lower:
-        trs = ordered_dedup([m.group(0) for m in _TRS_PAT.finditer(text)])
-        if trs:
-            d["TRS"] = trs
+    if trs_matches is None:
+        if "section" in lower:
+            trs_matches = [t for t, _, _ in _finditer_str(text)]
+        else:
+            trs_matches = []
+    trs = ordered_dedup(trs_matches)
+    if trs:
+        d["TRS"] = trs
     if dt and dt[0] == "Deed":
         d["deed_details"] = extract_deed_details(text, lower)
     if dt and dt[0] == "Lease":
@@ -185,18 +199,35 @@ def page_details(text: str) -> Dict:
     return d
 
 
-def doc_details(pages: Sequence[str]) -> Dict:
+def _page_details_from_scans(pages: Sequence[str], page_scans) -> List[Dict]:
+    return [
+        page_details(
+            t,
+            lower,
+            [v for n, v, _, _ in tagged if n == "section_township_range"],
+        )
+        for t, (lower, tagged) in zip(pages, page_scans)
+    ]
+
+
+def doc_details(pages: Sequence[str], page_scans=None) -> Dict:
     """Whole-document ``details``: per-page extraction → conflict-renaming
     fold (workflow.py:253-260) → ordered-dedup sweep incl. the redundant
-    ``details.TRS`` drop (workflow.py:733-756)."""
-    per_page = [
-        (n, d) for n, d in ((n, page_details(t)) for n, t in enumerate(pages, 1)) if d
-    ]
+    ``details.TRS`` drop (workflow.py:733-756). ``page_scans`` (see
+    kernels/legal.py ``scan_pages``) lets the caller share one regex pass
+    per page with the legal-summary path."""
+    if page_scans is None:
+        details_iter = (page_details(t) for t in pages)
+    else:
+        details_iter = iter(_page_details_from_scans(pages, page_scans))
+    per_page = [(n, d) for n, d in enumerate(details_iter, 1) if d]
     merged = merge_details(per_page)
     return dedup_sweep({"details": merged})["details"]
 
 
-def doc_details_json(pages: Sequence[str]) -> str:
+def doc_details_json(pages: Sequence[str], page_scans=None) -> str:
     """Canonical JSON form (insertion-ordered — deterministic given page
     order, like the reference's final_result.json serialization)."""
-    return json.dumps(doc_details(pages), ensure_ascii=False, separators=(",", ":"))
+    return json.dumps(
+        doc_details(pages, page_scans), ensure_ascii=False, separators=(",", ":")
+    )

@@ -63,23 +63,114 @@ _PATTERN_GUARDS: Dict[str, str] = {
     "metes_bounds_start": "beginning",
 }
 
+# ---------------------------------------------------------------------------
+# Fast STR scan. The full section_township_range pattern starts with an
+# OPTIONAL quarter-call prefix (?:N|S|E|W|NE|NW|SE|SW)\s*1/[24]\s+of\s+ —
+# sre therefore attempts a match at every n/s/e/w/whitespace position
+# (~20% of English text), which measured 13.7x slower than scanning the
+# "Section …" core alone. The fast path scans only the core and, at each
+# core hit, reconstructs the optional prefix with an exact backward parse
+# of the prefix grammar, yielding byte-identical (match, start, end)
+# triples with identical non-overlap consumption (the `floor` argument is
+# the previous match's end, mirroring finditer's resume position).
+# Equivalence is property-tested against the original pattern in
+# tests/test_tagged_scan.py, including unicode-casefold bait (ſ, K).
+# ---------------------------------------------------------------------------
+_STR_CORE = re.compile(
+    r"Section\s+\d+,?\s*Township\s+\d+\s*[NS],?\s*Range\s+\d+\s*[EW]",
+    re.IGNORECASE,
+)
+_WS_CHAR = re.compile(r"\s")
 
-def extract_with_regex(text: str, lower: str | None = None) -> List[Tuple[str, int, int]]:
-    """All (match, start, end) for the non-header patterns, in pattern order
-    then position order — the reference's enumeration order
+
+def _str_prefix_start(text: str, c: int, floor: int) -> int | None:
+    """Start index of the quarter-call prefix ending exactly at ``c``, or
+    None. Literals anchor every component, so the backward parse is
+    deterministic: maximal whitespace runs, then the literal each must
+    abut. ``floor`` is the previous match's end — a prefix reaching into
+    already-consumed text is rejected, exactly as finditer's scan resume
+    makes the original pattern do."""
+    j = c
+    while j > floor and _WS_CHAR.match(text[j - 1]):
+        j -= 1
+    if j == c:  # the grammar requires \s+ before the core
+        return None
+    if j - 2 < floor or text[j - 2 : j].lower() != "of":
+        return None
+    j -= 2
+    k = j
+    while k > floor and _WS_CHAR.match(text[k - 1]):
+        k -= 1
+    if k == j:  # \s+ between 1/[24] and "of"
+        return None
+    if k - 3 < floor or text[k - 3 : k - 1] != "1/" or text[k - 1] not in "24":
+        return None
+    k -= 3
+    m = k
+    while m > floor and _WS_CHAR.match(text[m - 1]):  # \s* — zero allowed
+        m -= 1
+    # Leftmost match start wins (finditer semantics): a valid two-letter
+    # direction starts one char earlier than a valid one-letter one.
+    if m - 2 >= floor and text[m - 2 : m].upper() in ("NE", "NW", "SE", "SW"):
+        return m - 2
+    if m - 1 >= floor and text[m - 1 : m].upper() in ("N", "S", "E", "W"):
+        return m - 1
+    return None
+
+
+def _finditer_str(text: str) -> List[Tuple[str, int, int]]:
+    """(match, start, end) triples byte-identical to
+    ``PATTERNS['section_township_range'].finditer(text)``."""
+    out: List[Tuple[str, int, int]] = []
+    last = 0
+    for m in _STR_CORE.finditer(text):
+        c, e = m.start(), m.end()
+        p = _str_prefix_start(text, c, last)
+        s = c if p is None else p
+        out.append((text[s:e], s, e))
+        last = e
+    return out
+
+
+# (pattern_name, match_text, start, end) — one regex pass over a text,
+# reusable by every consumer (description list, TRS list, details.TRS)
+# instead of re-scanning the same pattern on the same string.
+TaggedMatch = Tuple[str, str, int, int]
+
+
+def extract_with_regex_tagged(
+    text: str, lower: str | None = None
+) -> List[TaggedMatch]:
+    """All (pattern_name, match, start, end) for the non-header patterns, in
+    pattern order then position order — the reference's enumeration order
     (extractors/regex.py:44-51, dict order is insertion order). ``lower``
-    may carry a precomputed ``text.lower()`` to avoid re-lowering."""
+    may carry a precomputed ``text.lower()`` to avoid re-lowering.
+
+    This is the ONE regex pass over a given text; the untagged description
+    list and both TRS lists are projections of it (the STR subset preserves
+    page/position order, identical to a dedicated ``finditer`` rescan), so
+    each page and the combined text are scanned exactly once per document.
+    """
     if lower is None:
         lower = text.lower()
-    matches: List[Tuple[str, int, int]] = []
+    matches: List[TaggedMatch] = []
     for name, pattern in PATTERNS.items():
         if name == "legal_desc_header":
             continue
         if _PATTERN_GUARDS[name] not in lower:
             continue
-        for m in pattern.finditer(text):
-            matches.append((m.group(0), m.start(), m.end()))
+        if name == "section_township_range":
+            for t, s, e in _finditer_str(text):
+                matches.append((name, t, s, e))
+        else:
+            for m in pattern.finditer(text):
+                matches.append((name, m.group(0), m.start(), m.end()))
     return matches
+
+
+def extract_with_regex(text: str, lower: str | None = None) -> List[Tuple[str, int, int]]:
+    """Untagged (match, start, end) projection of the single tagged pass."""
+    return [(t, s, e) for _, t, s, e in extract_with_regex_tagged(text, lower)]
 
 
 def traditional_confidence(
@@ -146,14 +237,34 @@ def dedup_descriptions(descriptions: Sequence[Description]) -> List[Description]
     return final
 
 
-def find_descriptions_in_pages(page_texts: Sequence[str]) -> List[Description]:
+# Per-page precomputed scan: (lowercased text, tagged matches). Threading
+# these through doc_legal_summary/doc_details lets the fused summaries
+# kernel lower() and regex-scan each page exactly once per document.
+PageScan = Tuple[str, List[TaggedMatch]]
+
+
+def scan_pages(page_texts: Sequence[str]) -> List[PageScan]:
+    """One (lower, tagged-matches) pass per page."""
+    out: List[PageScan] = []
+    for text in page_texts:
+        lower = text.lower()
+        out.append((lower, extract_with_regex_tagged(text, lower)))
+    return out
+
+
+def find_descriptions_in_pages(
+    page_texts: Sequence[str], page_scans: Sequence[PageScan] | None = None
+) -> List[Description]:
     """Regex extraction + confidence over 1-indexed pages, then dedup —
     the deterministic fallback path of the reference's hybrid extractor
     (extractors/llm.py:60-141 step 4, with LLM/layout steps absent)."""
+    if page_scans is None:
+        page_scans = scan_pages(page_texts)
     all_desc: List[Description] = []
-    for page_number, text in enumerate(page_texts, 1):
-        lower = text.lower()
-        for match_text, start, end in extract_with_regex(text, lower):
+    for page_number, (text, (lower, tagged)) in enumerate(
+        zip(page_texts, page_scans), 1
+    ):
+        for _, match_text, start, end in tagged:
             all_desc.append(
                 Description(
                     text=match_text,
@@ -166,7 +277,12 @@ def find_descriptions_in_pages(page_texts: Sequence[str]) -> List[Description]:
     return dedup_descriptions(all_desc)
 
 
-def doc_legal_summary(pages: Sequence[str], combined: str) -> Dict[str, List[str]]:
+def doc_legal_summary(
+    pages: Sequence[str],
+    combined: str,
+    page_scans: Sequence[PageScan] | None = None,
+    combined_scan: PageScan | None = None,
+) -> Dict[str, List[str]]:
     """Per-document legal-description + TRS result over extracted pages.
 
     The reference's two-pass merge (workflow.py:484-598 + ordered-dedup
@@ -174,31 +290,40 @@ def doc_legal_summary(pages: Sequence[str], combined: str) -> Dict[str, List[str
     a full-document pass over the combined text, full-doc-first merge for
     legal descriptions, page-first merge for TRS. Shared by the golden
     executor and the Spark kernel so the two cannot drift.
+
+    ``page_scans``/``combined_scan`` may carry precomputed tagged regex
+    passes (see ``scan_pages``); the TRS lists are projections of the same
+    tagged matches (STR subset, page then position order — exactly what a
+    dedicated ``finditer`` rescan yields), so no text is scanned twice.
     """
     from deed_ocr_spark.kernels.textops import ordered_dedup
 
-    page_descs = find_descriptions_in_pages(pages)
+    if page_scans is None:
+        page_scans = scan_pages(pages)
+    if combined_scan is None:
+        combined_lower = combined.lower()
+        combined_scan = (
+            combined_lower,
+            extract_with_regex_tagged(combined, combined_lower),
+        )
+    combined_tagged = combined_scan[1]
+
+    page_descs = find_descriptions_in_pages(pages, page_scans)
     pages_ld: List[str] = []
     for d in page_descs:  # collect-with-dedup, workflow.py:501-509
         if d.text and d.text not in pages_ld:
             pages_ld.append(d.text)
-    combined_lower = combined.lower()
-    fulldoc_ld = [m[0] for m in extract_with_regex(combined, combined_lower)]
+    fulldoc_ld = [t for _, t, _, _ in combined_tagged]
     legal = ordered_dedup(merge_final_lists(fulldoc_ld, pages_ld))
 
-    trs_pat = PATTERNS["section_township_range"]
     pages_trs: List[str] = []
-    for text in pages:
-        if "section" not in text.lower():
-            continue
-        for m in trs_pat.finditer(text):
-            v = m.group(0)
-            if v and v not in pages_trs:
+    for _, tagged in page_scans:
+        for name, v, _, _ in tagged:
+            if name == "section_township_range" and v and v not in pages_trs:
                 pages_trs.append(v)
-    if "section" in combined_lower:
-        fulldoc_trs = [m.group(0) for m in trs_pat.finditer(combined)]
-    else:
-        fulldoc_trs = []
+    fulldoc_trs = [
+        t for n, t, _, _ in combined_tagged if n == "section_township_range"
+    ]
     trs = ordered_dedup(merge_final_lists(pages_trs, fulldoc_trs))
     return {"legal_description_block": legal, "trs": trs}
 
