@@ -50,6 +50,20 @@ def main(argv=None):
         "confidence>0.5 acceptance threshold (P6) to this dir",
     )
     p.add_argument(
+        "--compact",
+        action="store_true",
+        help="after extraction, binpack over-fragmented output partitions "
+        "(parquet analog of Iceberg rewrite_data_files; see "
+        "deed_ocr_spark/compact.py)",
+    )
+    p.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=128,
+        help="compaction target file size in MiB (default 128, Iceberg's "
+        "write.target-file-size default)",
+    )
+    p.add_argument(
         "--stream",
         action="store_true",
         help="incremental mode: treat --input as a streaming file source; "
@@ -135,6 +149,17 @@ def main(argv=None):
         f"docs={docs} spans={stats['spans']} wall_sec={dt:.2f} "
         f"docs_per_sec={docs / dt:.1f}"
     )
+    if args.compact:
+        from deed_ocr_spark.compact import compact_output
+
+        res = compact_output(
+            spark, args.out, target_bytes=args.compact_target_mb << 20
+        )
+        print(
+            f"COMPACT_DONE buckets={res['compacted_buckets']} "
+            f"files_before={res['files_before']} "
+            f"target_files={res['target_files']}"
+        )
     spark.stop()
     return 0
 
