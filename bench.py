@@ -231,10 +231,85 @@ def scaling_main() -> None:
     )
 
 
+SUBMIT_DOCS = int(os.environ.get("SPARK_GRAFT_SUBMIT_DOCS", "100000"))
+
+
+def scaling_submit_main() -> None:
+    """North-rule deployment-path scaling: the SAME job launched via
+    ``spark-submit --py-files`` (scripts/run_job.py, the production entry)
+    at N and 4N cores, each pinned with taskset and writing to fresh
+    out/state dirs. Reports the job's own end-to-end docs_per_sec (salt
+    repartition + extraction + partitioned write + ledger commit) at both
+    levels plus the N→4N efficiency — the literal form of the rule's
+    "two cluster sizes" criterion this sandbox can produce."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "deed_ocr_spark_bench.zip")
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "deed_ocr_spark"], cwd=repo, check=True
+    )
+
+    out = {}
+    for cores in (2, 8, 32):
+        work = tempfile.mkdtemp(prefix=f"scale_submit_{cores}_")
+        cmd = [
+            "spark-submit",
+            "--master",
+            f"local[{cores}]",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--conf",
+            f"spark.sql.shuffle.partitions={cores}",
+            "--py-files",
+            zip_path,
+            os.path.join(repo, "scripts", "run_job.py"),
+            "--gen-docs",
+            str(SUBMIT_DOCS),
+            "--out",
+            os.path.join(work, "out"),
+            "--state",
+            os.path.join(work, "state"),
+            "--run-id",
+            f"scale{cores}",
+            "--buckets",
+            "64",
+        ]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        time.sleep(5)
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = next(
+            ln for ln in res.stdout.splitlines() if ln.startswith("EXTRACT_DONE")
+        )
+        rate = float(line.rsplit("docs_per_sec=", 1)[1])
+        out[cores] = rate
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "spark-submit job scaling N→4N (end-to-end incl. write+ledger)",
+                "docs_per_sec": {str(k): round(v, 1) for k, v in out.items()},
+                "efficiency_2_to_8": round((out[8] / out[2]) / 4.0, 3),
+                "efficiency_8_to_32": round((out[32] / out[8]) / 4.0, 3),
+                "bench_docs": SUBMIT_DOCS,
+                "launch": "spark-submit --py-files (scripts/run_job.py), taskset-pinned to N cores",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         scaling_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--scaling-submit" in sys.argv:
+        scaling_submit_main()
     elif "--scaling" in sys.argv:
         scaling_main()
     else:

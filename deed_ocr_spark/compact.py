@@ -115,8 +115,14 @@ def compact_output(
         spark.read.parquet(out_dir)
         .filter(F.col("part_bucket").isin(buckets))
         .withColumn(
+            # tuple-hash (doc_id, 1): decorrelated from part_bucket's
+            # xxhash64(doc_id) — same-hash mod-k would collapse slices
+            # whenever k divides the bucket count (see job.py)
             "_slice",
-            F.pmod(F.xxhash64(F.col("doc_id")), target_map[F.col("part_bucket")]),
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.lit(1)),
+                target_map[F.col("part_bucket")],
+            ),
         )
     )
     total_target = sum(p.target_files for p in plans)

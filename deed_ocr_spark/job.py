@@ -1,20 +1,32 @@
-"""Extraction job pipeline: scan → salt/repartition → mapInPandas → sink.
+"""Extraction job pipeline: scan → bucket-aligned repartition → mapInPandas → sink.
 
 The physical plan this produces (SURVEY.md §3.4):
 
     Scan (Iceberg in prod, parquet here; column-pruned to doc_id, spans)
-      → Exchange hashpartitioning(doc_id, salt)   -- the ONLY shuffle
+      → Exchange hashpartitioning(part_bucket, slice)   -- the ONLY shuffle
       → ArrowEvalPython / MapInPandas (extract kernel, fused per-doc merge)
-      → sink (partitioned write; per-partition idempotent overwrite)
+      → sink (partitionBy(part_bucket) write; dynamic partition overwrite)
 
-Skew policy: document cost is heavy-tailed (hot multi-span docs — corpus
-mirrors this). AQE cannot split a single row, so we (a) spread documents
-uniformly with an explicit repartition on ``(doc_id, salt)`` where
-``salt = pmod(xxhash64(doc_id), SALT_N)`` — deterministic, so a resumed run
-lands documents in the same bucket — and (b) cap Arrow batch rows so one
-batch of hot docs cannot blow Python-worker memory. With thousands of docs
-per task the heavy tail averages out; the bench (bench.py) measures this
-on the skewed corpus rather than assuming it.
+The single exchange serves BOTH jobs a 100 TB run needs from it:
+
+* **Skew**: document cost is heavy-tailed (hot multi-span docs — corpus
+  mirrors this). AQE cannot split a single row, so documents are spread
+  explicitly; the ``slice`` key (``pmod(xxhash64(doc_id),
+  files_per_bucket)``) spreads hot documents within a bucket exactly as
+  the generic ``(doc_id, salt)`` repartition did. Deterministic — a
+  resumed run lands documents in identical tasks. Arrow batch rows stay
+  capped so one batch of hot docs cannot blow Python-worker memory. With
+  thousands of docs per task the heavy tail averages out; bench.py
+  measures this on the skewed corpus rather than assuming it.
+* **Sink alignment**: a ``partitionBy`` write from unaligned tasks emits
+  one file per (task, bucket) pair — a tasks×buckets small-file storm
+  whose serialized commit anti-scales. Aligning the exchange to
+  ``(part_bucket, slice)`` bounds each wave to ~files_per_bucket files
+  per bucket (``repartition_for_bucketed_write``); compact.py binpacks
+  multi-wave accumulation after resumes.
+
+``repartition_for_extract`` (generic doc_id+salt spread) remains for
+non-bucketed consumers of the kernels (ad-hoc queries, summaries sinks).
 """
 
 from __future__ import annotations
@@ -45,6 +57,36 @@ def repartition_for_extract(df: DataFrame, n_partitions: int) -> DataFrame:
         "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(SALT_N)).cast("int")
     )
     return salted.repartition(n_partitions, "doc_id", "salt").drop("salt")
+
+
+def repartition_for_bucketed_write(
+    df: DataFrame, n_buckets: int, files_per_bucket: int = 1
+) -> DataFrame:
+    """Bucket-aligned skew-breaking exchange for a ``partitionBy(
+    part_bucket)`` sink. A partitioned write WITHOUT alignment emits one
+    file per (task, bucket) pair — a tasks×buckets small-file storm whose
+    commit cost anti-scales (measured: 32 tasks × 64 buckets = 2 048
+    files for one wave). Shuffling on ``(part_bucket, slice)`` instead of
+    ``(doc_id, salt)`` costs the same single exchange but bounds the wave
+    to ~``files_per_bucket`` files per bucket; ``slice`` is a pure
+    function of doc_id, so placement stays deterministic across resumed
+    runs, and slicing within a bucket spreads hot documents exactly like
+    the generic salt did. ``df`` must already carry ``part_bucket``."""
+    files_per_bucket = max(1, files_per_bucket)
+    # slice hash must be DECORRELATED from part_bucket's: with the same
+    # xxhash64(doc_id), slice = hash mod k is a pure function of
+    # bucket = hash mod n whenever k divides n, collapsing every bucket
+    # to one slice. Hashing the tuple (doc_id, 1) draws an independent
+    # value (still a pure function of doc_id — deterministic on resume).
+    sliced = df.withColumn(
+        "_slice",
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(files_per_bucket)).cast(
+            "int"
+        ),
+    )
+    return sliced.repartition(
+        n_buckets * files_per_bucket, "part_bucket", "_slice"
+    ).drop("_slice")
 
 
 def extract_spans(df: DataFrame, n_partitions: int = 0) -> DataFrame:

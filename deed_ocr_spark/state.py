@@ -43,7 +43,12 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from deed_ocr_spark import __version__
-from deed_ocr_spark.job import extract_spans, partition_metrics, with_partition_bucket
+from deed_ocr_spark.job import (
+    extract_spans,
+    partition_metrics,
+    repartition_for_bucketed_write,
+    with_partition_bucket,
+)
 
 STATE_SCHEMA_DDL = (
     "run_id string, part_bucket int, status string, attempts int, docs bigint, "
@@ -157,11 +162,19 @@ def run_extraction_job(
         return _job_counters(spark, state_dir)
     pending = bucketed.filter(F.col("part_bucket").isin(pending_ids))
 
+    # ONE exchange, aligned to the sink: shuffle the kernel input on
+    # (part_bucket, slice) so each bucket's output lands in a bounded
+    # number of files instead of one per (task, bucket) pair — the
+    # partitioned-write small-file storm whose commit cost anti-scales
+    # (job.repartition_for_bucketed_write). ``n_partitions`` sets the
+    # total task-count target; slices within a bucket spread hot docs
+    # exactly like the generic doc_id salt did.
+    files_per_bucket = max(1, round(n_partitions / n_buckets)) if n_partitions else 1
+    pending = repartition_for_bucketed_write(pending, n_buckets, files_per_bucket)
+
     # Bucket is recomputed from doc_id after the kernel (pure function —
     # cheaper than carrying it through the Arrow channel, and no join).
-    spans_out = with_partition_bucket(
-        extract_spans(pending, n_partitions=n_partitions), n_buckets
-    )
+    spans_out = with_partition_bucket(extract_spans(pending), n_buckets)
 
     # 1) data commit: dynamic overwrite replaces exactly the re-run buckets
     spans_out.write.mode("overwrite").partitionBy("part_bucket").parquet(out_dir)

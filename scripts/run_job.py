@@ -38,7 +38,14 @@ def main(argv=None):
     p.add_argument("--max-attempts", type=int, default=5,
                    help="retry escalation ceiling per bucket (reference "
                    "retry_helper max_retries=5)")
-    p.add_argument("--partitions", type=int, default=0)
+    p.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="task-count target for the job's bucket-aligned exchange "
+        "(files per bucket ≈ partitions/buckets; 0 → one file per bucket) "
+        "and for --gen-docs generation parallelism",
+    )
     p.add_argument(
         "--summaries-out",
         help="also write per-document summaries (legal descriptions, TRS, "

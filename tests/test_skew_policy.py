@@ -6,7 +6,11 @@ the property the 1000-executor story depends on (job.py docstring)."""
 from pyspark.sql import functions as F
 
 from deed_ocr_spark.corpus import corpus_df
-from deed_ocr_spark.job import repartition_for_extract
+from deed_ocr_spark.job import (
+    repartition_for_bucketed_write,
+    repartition_for_extract,
+    with_partition_bucket,
+)
 
 N_DOCS = 4000
 N_PARTS = 16
@@ -35,3 +39,40 @@ def test_salted_repartition_flattens_hot_tail(spark):
     # r1 measured 1.037x at 64 partitions/400k docs; allow slack for the
     # smaller sample but fail on anything resembling a hot-key pile-up
     assert ratio < 1.35, (ratio, sorted(loads)[-3:])
+
+
+def test_bucket_aligned_repartition_also_flattens_hot_tail(spark):
+    """The job's sink-aligned exchange (part_bucket, slice) must spread
+    the hot tail as well as the generic doc_id salt: hot docs hash
+    uniformly across buckets, and slices split within a bucket."""
+    df = with_partition_bucket(
+        corpus_df(spark, N_DOCS, seed=42, n_partitions=4).select(
+            "doc_id", "spans"
+        ),
+        8,
+    )
+    cost = F.aggregate(
+        F.transform("spans", lambda s: F.length(s["text"])),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    # load per (bucket, slice) write group — the unit a single task/file
+    # receives; hash-collision packing of groups into partitions is
+    # irrelevant to skew (two light groups in one task is fine)
+    per_group = (
+        df.withColumn("cost", cost)
+        .withColumn("_slice", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(2)))
+        .groupBy("part_bucket", "_slice")
+        .agg(F.sum("cost").alias("bytes"))
+        .collect()
+    )
+    loads = [r["bytes"] for r in per_group]
+    assert len(loads) == 16
+    mean = sum(loads) / len(loads)
+    assert max(loads) / mean < 1.35, sorted(loads)[-3:]
+    # and the exchange itself bounds the task count to groups
+    assert (
+        repartition_for_bucketed_write(df, 8, files_per_bucket=2)
+        .rdd.getNumPartitions()
+        == 16
+    )
