@@ -261,6 +261,12 @@ def scaling_submit_main() -> None:
             "spark-submit",
             "--master",
             f"local[{cores}]",
+            # local mode runs executors inside the driver JVM, whose heap is
+            # fixed at launch — the 1g default GC-thrashes at 32 concurrent
+            # tasks and measured as ANTI-scaling (8→32 eff 0.15). On a real
+            # cluster this is executor memory sizing, not a code concern.
+            "--driver-memory",
+            os.environ.get("SPARK_DRIVER_MEM", "8g"),
             "--conf",
             "spark.ui.enabled=false",
             "--conf",
