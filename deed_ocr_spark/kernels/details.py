@@ -93,10 +93,14 @@ _CLASSIFY_ANY = ("deed", "lease", "decree", "stipulation")
 def classify_document(text: str, lower: Optional[str] = None) -> Optional[Tuple[str, str]]:
     if lower is None:
         lower = text.lower()
-    if not any(g in lower for g in _CLASSIFY_ANY):
+    # Guards are exact only on ASCII text (re.I full-casefolds ſ↔s etc.,
+    # str.lower() does not — see kernels/legal.py); non-ASCII text skips
+    # the short-circuit and always consults the regexes.
+    guardable = text.isascii()
+    if guardable and not any(g in lower for g in _CLASSIFY_ANY):
         return None
     for guard, (pat, typ, sub) in zip(_DOC_TYPE_GUARDS, _DOC_TYPES):
-        if guard in lower and pat.search(text):
+        if (not guardable or guard in lower) and pat.search(text):
             return typ, sub
     return None
 
@@ -128,7 +132,8 @@ def extract_deed_details(text: str, lower: Optional[str] = None) -> Optional[Dic
     if lower is None:
         lower = text.lower()
     out: Dict[str, str] = {}
-    if "undivided" in lower:
+    guardable = text.isascii()  # guards exact only on ASCII (see legal.py)
+    if not guardable or "undivided" in lower:
         m = _GRANTOR_INTEREST_RE.search(text)
         if m:
             out["grantors_interest"] = m.group(0)
@@ -137,7 +142,7 @@ def extract_deed_details(text: str, lower: Optional[str] = None) -> Optional[Dic
             # key case follows the reference prompt schema verbatim
             # (gemini_ocr.py:561 names it "Interest_fraction", capital I)
             out["Interest_fraction"] = m.group(0)
-    if "subject" in lower:
+    if not guardable or "subject" in lower:
         m = _SUBJECT_TO_RE.search(text)
         if m:
             out["subject_to"] = m.group(0)
@@ -149,15 +154,16 @@ def extract_lease_details(text: str, lower: Optional[str] = None) -> Optional[Di
     if lower is None:
         lower = text.lower()
     out: Dict[str, str] = {}
-    if "acre" in lower:
+    guardable = text.isascii()  # guards exact only on ASCII (see legal.py)
+    if not guardable or "acre" in lower:
         m = _ACREAGE_RE.search(text)
         if m:
             out["gross_acreage"] = m.group(1)
-    if "royalty" in lower:
+    if not guardable or "royalty" in lower:
         m = _ROYALTY_RE.search(text)
         if m:
             out["lease_royalty"] = m.group(1)
-    if "term" in lower:
+    if not guardable or "term" in lower:
         m = _LEASE_TERM_RE.search(text)
         if m:
             out["lease_term"] = m.group(1)
@@ -185,7 +191,7 @@ def page_details(
     if parties:
         d["parties"] = parties
     if trs_matches is None:
-        if "section" in lower:
+        if "section" in lower or not text.isascii():
             trs_matches = [t for t, _, _ in _finditer_str(text)]
         else:
             trs_matches = []

@@ -153,11 +153,17 @@ def extract_with_regex_tagged(
     """
     if lower is None:
         lower = text.lower()
+    # The guards are only exact on ASCII text: re.IGNORECASE applies FULL
+    # Unicode casefolding (ſ↔s, ı↔i, K↔k) while str.lower() does not, so
+    # 'ſection' satisfies the regex but not `"section" in lower`. Non-ASCII
+    # text therefore falls through to the regex engine unconditionally —
+    # the guard stays a pure short-circuit (byte-identical output).
+    guardable = text.isascii()
     matches: List[TaggedMatch] = []
     for name, pattern in PATTERNS.items():
         if name == "legal_desc_header":
             continue
-        if _PATTERN_GUARDS[name] not in lower:
+        if guardable and _PATTERN_GUARDS[name] not in lower:
             continue
         if name == "section_township_range":
             for t, s, e in _finditer_str(text):

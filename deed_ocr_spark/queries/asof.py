@@ -37,6 +37,9 @@ from pyspark.sql.window import Window
 _TS = "__asof_ts"
 _MARK = "__asof_is_left"
 _PAY = "__asof_payload"
+# collision-proof struct field for the right timestamp: a payload column
+# named 'ts' must not create a duplicate struct field (ambiguous m['ts'])
+_RTS = "__asof_rts"
 
 
 def asof_join(
@@ -64,6 +67,9 @@ def asof_join(
     dup = set(right_cols) & set(left.columns)
     if dup:
         raise ValueError(f"right_cols collide with left columns: {sorted(dup)}")
+    reserved = [c for c in (*right_cols, *on) if c.startswith("__asof_")]
+    if reserved:
+        raise ValueError(f"__asof_* names are reserved: {sorted(reserved)}")
 
     l_side = left.withColumn(_TS, F.col(left_ts)).withColumn(_MARK, F.lit(1))
     r_side = (
@@ -71,7 +77,7 @@ def asof_join(
         # the whole right row as one struct: carried atomically so a null
         # payload column in the LATEST right row is never papered over by
         # an older row's value
-        .withColumn(_PAY, F.struct(F.col(_TS).alias("ts"), *right_cols))
+        .withColumn(_PAY, F.struct(F.col(_TS).alias(_RTS), *right_cols))
         .select(*on, _TS, _PAY)
         .withColumn(_MARK, F.lit(0))
     )
@@ -85,7 +91,7 @@ def asof_join(
     m = F.last(_PAY, ignorenulls=True).over(w)
     valid = m.isNotNull()
     if tolerance is not None:
-        valid = valid & (m["ts"] >= F.col(_TS) - tolerance)
+        valid = valid & (m[_RTS] >= F.col(_TS) - tolerance)
 
     left_cols = [c for c in left.columns]
     out = (

@@ -102,6 +102,38 @@ def test_asof_tie_and_tolerance_and_atomic_payload(spark):
     assert out_tol[1] == "b" and out_tol[3] == "a"
 
 
+def test_asof_payload_named_ts_and_reserved_names(spark):
+    """Round-4 ADVICE: a right payload column literally named 'ts' used to
+    collide with the struct's internal timestamp field (ambiguous m['ts']);
+    the internal field is now __asof_rts, and __asof_* user names are
+    rejected up front."""
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 12, m, tzinfo=dt.timezone.utc)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(10))], "lid int, k int, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, ts(0), ts(0), 7.0)], "k int, r_ts timestamp, ts timestamp, v double"
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="l_ts", right_ts="r_ts",
+        right_cols=["ts", "v"], how="inner",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).collect()
+    # (collected timestamps are tz-naive; compare on the minute field)
+    assert len(row) == 1 and row[0]["ts"].minute == 0 and row[0]["v"] == 7.0
+
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            left, right.withColumnRenamed("ts", "__asof_rts"),
+            on=["k"], left_ts="l_ts", right_ts="r_ts",
+            right_cols=["__asof_rts"],
+        )
+
+
 def test_asof_plan_single_exchange_no_range_join(spark):
     left, right = _sides(spark)
     plan = asof_join(

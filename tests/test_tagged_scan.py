@@ -159,6 +159,65 @@ def test_fast_str_finditer_equals_original(parts, case):
     assert _finditer_str(text) == _direct_str(text)
 
 
+# ---------------------------------------------------------------------------
+# Guard-layer casefold exactness (round-4 ADVICE): re.IGNORECASE applies
+# FULL unicode casefolding (ſ↔s, K↔k) while str.lower() does not, so the
+# `literal in lower` short-circuit guards must fall through to the regex on
+# non-ASCII text. These baits previously matched the raw patterns (and the
+# fast STR scan) but were swallowed by the guard layer.
+# ---------------------------------------------------------------------------
+
+
+def _direct_tagged(text):
+    """Unguarded enumeration: every non-header pattern, raw finditer."""
+    out = []
+    for name, pattern in PATTERNS.items():
+        if name == "legal_desc_header":
+            continue
+        for m in pattern.finditer(text):
+            out.append((name, m.group(0), m.start(), m.end()))
+    return out
+
+
+_CASEFOLD_BAITS = [
+    "ſection 9, Township 2 N, Range 3 E",  # ſ defeats the 'section' guard
+    "NE 1/4 of ſection 9, Township 2 N, Range 3 E",
+    "Lot 42, Block B, RIVERSIDE ESTATES",  # ASCII control: guards stay exact
+    "ſ plain non-ascii text with no match at all",
+    "beginning at a point, thence 300 feet — K marks the spot",  # Kelvin sign
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(_CASEFOLD_BAITS + _STR_FRAGMENTS), min_size=1, max_size=6))
+def test_guard_layer_exact_on_casefold_bait(parts):
+    text = " ".join(parts)
+    assert extract_with_regex_tagged(text) == _direct_tagged(text)
+
+
+def test_classify_document_casefold_bait():
+    from deed_ocr_spark.kernels.details import classify_document
+
+    # 'LEAſE' satisfies \bLEASE\b under re.I but 'lease' not in str.lower()
+    assert classify_document("THIS LEAſE made this day") == ("Lease", "Lease")
+    # ASCII behavior unchanged
+    assert classify_document("THIS LEASE made this day") == ("Lease", "Lease")
+    assert classify_document("no taxonomy words here") is None
+
+
+def test_deed_details_casefold_bait():
+    from deed_ocr_spark.kernels.details import extract_deed_details
+
+    # 'ſubject' defeats the 'subject' guard but matches the re.I pattern
+    out = extract_deed_details("ſubject to liens of record")
+    assert out == {"subject_to": "ſubject to liens of record"}
+
+
+def test_page_details_trs_casefold_bait():
+    d = page_details("conveys ſection 9, Township 2 N, Range 3 E")
+    assert d.get("TRS") == ["ſection 9, Township 2 N, Range 3 E"]
+
+
 def test_page_details_with_precomputed_trs():
     text = (
         "WARRANTY DEED. GRANTOR: JOHN A. SMITH AND MARY SMITH. "
