@@ -92,9 +92,33 @@ def bench_main() -> None:
     results["x1_extract_spans"] = round(ext_sec, 3)
     docs_per_sec = BENCH_DOCS / ext_sec
 
+    # One-time signature materialization (the registered d7/d13 read these
+    # content-keyed parquet tables instead of session-cached subtrees).
+    # Timed separately so the per-query numbers measure the steady-state
+    # scan path; ~0 when the tables already exist for this corpus.
+    from deed_ocr_spark.signatures import (
+        SHINGLES,
+        WINNOW_FPS,
+        ensure_signature_table,
+    )
+
+    sig_secs = {}
+    for fam in (SHINGLES, WINNOW_FPS):
+        t0 = time.time()
+        ensure_signature_table(spark, SF_DIR, fam)
+        sig_secs[fam] = round(time.time() - t0, 3)
+
+    # Per query: clearCache, one COLD run, then best-of-N warm runs —
+    # cold-vs-warm made the round-3 cache-residency regression visible;
+    # with the signature-table route the two should track each other.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        cold[name] = round(time.time() - t0, 3)
         best = 1e18  # best-of-N: this VM has co-tenant steal-time noise
         for _ in range(trials):
             t0 = time.time()
@@ -110,6 +134,8 @@ def bench_main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_cold": cold,
+                "signature_materialize_sec": sig_secs,
                 "sf": _sf_label(SF_DIR),
                 "docs_per_sec": round(docs_per_sec, 1),
                 "bench_docs": BENCH_DOCS,

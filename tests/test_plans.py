@@ -57,14 +57,29 @@ def test_lsh_pairs_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_d7_plan_reuses_persisted_shingles(spark):
-    """The shingle subtree feeds both the candidate and intersection sides;
-    the persist must show up as InMemoryTableScan (one tokenize pass)."""
+def test_d7_plan_scans_signature_table_not_corpus(spark):
+    """The registered d7 routes through the materialized shingle table
+    (signatures.py): its plan must scan signature parquet — never the
+    documents corpus (no re-tokenize), never a session-cache subtree
+    (no InMemoryTableScan — the round-3 cache-residency regression),
+    and never a cartesian product."""
     from deed_ocr_spark.queries.textpipe import d7_ngram_jaccard_pairs
 
     df = d7_ngram_jaccard_pairs(spark, SF)
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan
+    assert "deed_ocr_signatures" in plan or "shingles" in plan
+    assert "documents.parquet" not in plan, "d7 must not re-tokenize the corpus"
+    assert "InMemoryTableScan" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d13_plan_scans_signature_table_not_corpus(spark):
+    from deed_ocr_spark.queries.textpipe import d13_winnow_dup_pairs
+
+    plan = _plan(d13_winnow_dup_pairs(spark, SF))
+    assert "winnow_fps" in plan
+    assert "documents.parquet" not in plan, "d13 must not re-fingerprint the corpus"
+    assert "InMemoryTableScan" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -49,6 +49,32 @@ def test_winnow_pairs_match_in_session(spark, sig_dir):
     )
 
 
+def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, monkeypatch):
+    """The registered-query route: first call materializes, second call
+    reuses the same path without rewriting; touching the corpus parquet
+    (new mtime) yields a NEW content key, so stale tables are never read."""
+    import os
+    import shutil
+
+    import deed_ocr_spark.signatures as sig
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "sigcache"))
+    # copy the corpus so we can touch it without writing to /root/testdata
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
+
+    p1 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
+    mtime1 = os.path.getmtime(p1)
+    assert sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES) == p1
+    assert os.path.getmtime(p1) == mtime1, "second call must not rewrite"
+
+    os.utime(corpus / "documents.parquet")  # simulate regenerated data
+    p2 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
+    assert p2 != p1, "content key must change when the corpus changes"
+    assert spark.read.parquet(p2).count() == spark.read.parquet(p1).count()
+
+
 def test_from_table_plans_are_cache_free_and_cartesian_free(spark, sig_dir):
     for df in (
         minhash_band_pairs_from_tables(spark, sig_dir),
