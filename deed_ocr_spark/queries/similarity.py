@@ -518,6 +518,28 @@ def _ann_candidates(
     )
 
 
+def _rank_topk(pairs: DataFrame, topk: int, cv_col: str = "cv") -> DataFrame:
+    """Top-k ranking over a (qid, qv, cand, <cv_col>) candidate frame.
+
+    Ranks on the ROUNDED cosine (ties → cand asc): the 4-decimal grid makes
+    the ordering identical across engines even if the last mantissa bit of
+    the raw division ever differed — same discipline as e1's output.
+    Shared by e4/e5 and the e7 gauge so the gauge ranks EXACTLY the frame
+    it counts (candidates are built once, not rebuilt per consumer)."""
+    from pyspark.sql.window import Window
+
+    cos = _dot(F.col("qv"), F.col(cv_col)) / (
+        _norm(F.col("qv")) * _norm(F.col(cv_col))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand").asc())
+    return (
+        pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("qid", F.col("cand").alias("neighbor"), "cos_sim", "rk")
+    )
+
+
 def e4_lsh_ann_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -526,21 +548,8 @@ def e4_lsh_ann_topk(
     n_tables: int = 4,
     bucket_cap: int = 256,
 ) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = t(spark, sf_dir, "embeddings")
-    pairs = _ann_candidates(e, n_planes, n_tables, bucket_cap)
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    # rank on the ROUNDED cosine (ties → cand asc): the 4-decimal grid makes
-    # the ordering identical across engines even if the last mantissa bit of
-    # the raw division ever differed — same discipline as e1's output
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand").asc())
-    return (
-        pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topk)
-        .select("qid", F.col("cand").alias("neighbor"), "cos_sim", "rk")
-    )
+    return _rank_topk(_ann_candidates(e, n_planes, n_tables, bucket_cap), topk)
 
 
 # --- E5: IVF ANN (rows-only) — inverted-file variant of the scale path ------
@@ -605,21 +614,8 @@ def e5_ivf_ann_topk(
     topk: int = 3,
     list_cap: int = 256,
 ) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = t(spark, sf_dir, "embeddings")
-    pairs = _ivf_candidates(e, k_cells, nprobe, list_cap)
-    cos = _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2")))
-    # rank on the rounded cosine (cross-engine deterministic — e4 pattern)
-    w_top = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("cand").asc()
-    )
-    return (
-        pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w_top))
-        .filter(F.col("rk") <= topk)
-        .select("qid", F.col("cand").alias("neighbor"), "cos_sim", "rk")
-    )
+    return _rank_topk(_ivf_candidates(e, k_cells, nprobe, list_cap), topk, "cv2")
 
 
 # --- E6: embedding-cosine near-duplicate pairs (dedup family) ----------------
@@ -747,35 +743,29 @@ def e7_ann_recall(
     max_queries: int = 2000,
 ) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # worst case: near-orthogonal corpus through LSH (P=3/L=8) and IVF
-    lsh_ann = e4_lsh_ann_topk(spark, sf_dir, topk=topk, n_planes=3, n_tables=8,
-                              bucket_cap=512)
-    lsh_cands = _ann_candidates(e, 3, 8, 512).count()
-    ivf_ann = e5_ivf_ann_topk(spark, sf_dir, k_cells=4, nprobe=3, topk=topk,
-                              list_cap=512)
-    ivf_cands = _ivf_candidates(t(spark, sf_dir, "embeddings"), 4, 3, 512).count()
-
-    # realistic case: planted clusters, production-ish selectivity knobs
-    from pyspark.sql.window import Window
-
     ec = clustered_embeddings(e)
-    c_pairs = _ann_candidates(ec, n_planes=6, n_tables=2, bucket_cap=512)
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    w_top = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand").asc())
-    clu_ann = (
-        c_pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w_top))
-        .filter(F.col("rk") <= topk)
-        .select("qid", F.col("cand").alias("neighbor"))
-    )
-    clu_cands = _ann_candidates(ec, 6, 2, 512).count()
 
-    rows = [
-        _recall_row("lsh", e, lsh_ann, topk, lsh_cands, max_queries),
-        _recall_row("ivf", e, ivf_ann, topk, ivf_cands, max_queries),
-        _recall_row("lsh_clustered", ec, clu_ann, topk, clu_cands, max_queries),
+    # Each candidate pipeline is built ONCE, persisted, counted, and ranked
+    # from the same frame (round-3 gauge rebuilt every pipeline twice —
+    # once inside the top-k query and once for the candidate count).
+    # worst case: near-orthogonal corpus through LSH (P=3/L=8) and IVF;
+    # realistic case: planted clusters with production-ish selectivity.
+    cases = [
+        ("lsh", e, _ann_candidates(e, 3, 8, 512), "cv"),
+        ("ivf", e, _ivf_candidates(e, 4, 3, 512), "cv2"),
+        ("lsh_clustered", ec, _ann_candidates(ec, 6, 2, 512), "cv"),
     ]
+    rows = []
+    for method, frame, pairs, cv_col in cases:
+        pairs = pairs.persist()
+        try:
+            n_cands = pairs.count()
+            ann = _rank_topk(pairs, topk, cv_col)
+            # _recall_row executes its counts eagerly, inside the persist scope
+            rows.append(_recall_row(method, frame, ann, topk, n_cands, max_queries))
+        finally:
+            pairs.unpersist()
+
     return spark.createDataFrame(
         rows,
         "method string, n_queries int, topk int, recall double, "
