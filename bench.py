@@ -158,7 +158,7 @@ def scaling_worker(cores: int, corpus_path: str, trials: int = 4) -> None:
       + merge); on a real cluster the scan distributes across executors'
       Iceberg splits and scales with N anyway.
     """
-    from deed_ocr_spark.extract import SPANS_OUT_DDL, extract_spans_batch
+    from deed_ocr_spark.extract import SPANS_OUT_DDL, extract_spans_batches_arrow
     from deed_ocr_spark.session import get_spark
 
     spark = get_spark(f"bench-scale-{cores}", master=f"local[{cores}]",
@@ -167,7 +167,8 @@ def scaling_worker(cores: int, corpus_path: str, trials: int = 4) -> None:
     n_docs = df.count()
 
     def run():
-        return df.mapInPandas(extract_spans_batch, SPANS_OUT_DDL).count()
+        # production kernel path (mapInArrow columnar explode, job.extract_spans)
+        return df.mapInArrow(extract_spans_batches_arrow, SPANS_OUT_DDL).count()
 
     run()  # warm python workers
     best = 1e18

@@ -68,9 +68,9 @@ _KIND_FN = {
 _BATCH_KIND_FN = {"pdf_page": segment_pdf_blocks_many}
 
 
-def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Explode (doc_id, spans) rows to one flat frame of spans with dense
-    per-doc ``order`` from the offset sort. Vectorized construction."""
+def _explode_batch_scalar(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference (per-span loop) explode — kept as the executable spec the
+    columnar path is property-tested against (tests/test_kernel_properties)."""
     doc_ids: List[str] = []
     kinds: List[str] = []
     texts: List[str] = []
@@ -92,6 +92,50 @@ def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "src_kind": pd.Series(kinds, dtype="object"),
             "in_text": pd.Series(texts, dtype="object"),
             "in_media_ref": pd.Series(media_refs, dtype="object"),
+            "order": pd.Series(orders, dtype="int32"),
+        }
+    )
+
+
+def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Explode (doc_id, spans) rows to one flat frame of spans with dense
+    per-doc ``order`` from the offset sort.
+
+    Columnar construction over the whole Arrow batch: field extraction is
+    four flat comprehensions over the flattened span sequence, and the
+    per-document offset sort collapses into ONE stable ``np.lexsort`` on
+    (doc_index, offset) — np.lexsort is stable, so equal offsets keep
+    input order exactly like ``sorted(key=offset)`` did, and because
+    doc_index is already non-decreasing the sort permutes only within each
+    document's block. Dense per-doc ``order`` is then positional
+    arithmetic (row index minus the document's block start). Byte-
+    identical to ``_explode_batch_scalar`` (property-tested)."""
+    spans_col = pdf["spans"].to_numpy()
+    n_rows = len(spans_col)
+    lens = np.fromiter(
+        (0 if s is None else len(s) for s in spans_col), dtype=np.int64, count=n_rows
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return _explode_batch_scalar(pdf.iloc[:0])
+    flat = [s for spans in spans_col if spans is not None for s in spans]
+    kinds = np.fromiter((s["kind"] for s in flat), dtype=object, count=total)
+    texts = np.fromiter((s["text"] or "" for s in flat), dtype=object, count=total)
+    refs = np.fromiter(
+        (s["media_ref"] or "" for s in flat), dtype=object, count=total
+    )
+    offs = np.fromiter((s["offset"] for s in flat), dtype=np.int64, count=total)
+    codes = np.repeat(np.arange(n_rows), lens)
+    doc_rep = np.repeat(pdf["doc_id"].to_numpy(), lens)
+    idx = np.lexsort((offs, codes))
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    orders = (np.arange(total) - starts).astype("int32")
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_rep, dtype="object"),
+            "src_kind": pd.Series(kinds[idx], dtype="object"),
+            "in_text": pd.Series(texts[idx], dtype="object"),
+            "in_media_ref": pd.Series(refs[idx], dtype="object"),
             "order": pd.Series(orders, dtype="int32"),
         }
     )
@@ -168,6 +212,72 @@ def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         if not len(flat):
             continue
         yield _extract_flat(flat)
+
+
+def extract_spans_batches_arrow(batches) -> Iterator["object"]:
+    """mapInArrow kernel: the production explode path.
+
+    The mapInPandas route converts the ``spans`` list<struct> column to one
+    Python dict PER SPAN before the kernel even runs (Arrow→pandas
+    conversion) — at 100 TB that dict materialization is pure overhead.
+    Here the Arrow batch is exploded columnar: ``list_flatten`` /
+    ``list_parent_indices`` give flat field arrays with zero per-span
+    Python objects; the per-doc offset sort is the same stable lexsort as
+    ``_explode_batch``; null lists contribute nothing and null text/
+    media_ref become '' exactly like the scalar path. Output rows are
+    byte-identical to ``extract_spans_batch`` (golden + equality tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("order", pa.int32()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("src_kind", pa.string()),
+            ("status", pa.string()),
+        ]
+    )
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        spans = rb.column(rb.schema.get_field_index("spans"))
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        n = len(parent)
+        if n == 0:
+            continue
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(flat.field("text"), "").to_numpy(zero_copy_only=False)
+        ref = pc.fill_null(flat.field("media_ref"), "").to_numpy(
+            zero_copy_only=False
+        )
+        offs = flat.field("offset").to_numpy(zero_copy_only=False).astype("int64")
+        doc = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+            zero_copy_only=False
+        )[parent]
+        # parent is non-decreasing, so the stable lexsort permutes only
+        # within each document's block and `doc` needs no re-indexing
+        idx = np.lexsort((offs, parent))
+        block_start = np.zeros(n, dtype=np.int64)
+        new_block = np.flatnonzero(np.diff(parent)) + 1
+        block_start[new_block] = new_block
+        block_start = np.maximum.accumulate(block_start)
+        orders = (np.arange(n) - block_start).astype("int32")
+        flat_pdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="object"),
+                "src_kind": pd.Series(kind[idx], dtype="object"),
+                "in_text": pd.Series(text[idx], dtype="object"),
+                "in_media_ref": pd.Series(ref[idx], dtype="object"),
+                "order": pd.Series(orders, dtype="int32"),
+            }
+        )
+        yield pa.RecordBatch.from_pandas(
+            _extract_flat(flat_pdf), schema=out_schema, preserve_index=False
+        )
 
 
 def _doc_summaries(out: pd.DataFrame) -> pd.DataFrame:
@@ -274,10 +384,20 @@ def extract_descriptions_batch(
         if not len(flat):
             continue
         out = _extract_flat(flat)
+        # One stable lexsort + block slicing instead of per-doc pandas
+        # groupby/sort_values (the _doc_summaries factorize pattern — the
+        # measured per-group pandas dispatch was the kernel's constant
+        # factor at scale).
+        codes, doc_ids = pd.factorize(out["doc_id"], sort=False)
+        order_idx = np.lexsort((out["order"].to_numpy(), codes))
+        kinds = out["kind"].to_numpy()[order_idx]
+        texts = out["text"].to_numpy()[order_idx]
+        sorted_codes = codes[order_idx]
+        bounds = np.searchsorted(sorted_codes, np.arange(len(doc_ids) + 1))
         recs = []
-        for doc_id, g in out.groupby("doc_id", sort=False):
-            g = g.sort_values("order")
-            pages = g.loc[g["kind"] == "text", "text"].tolist()
+        for gi, doc_id in enumerate(doc_ids):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            pages = [t for t, k in zip(texts[lo:hi], kinds[lo:hi]) if k == "text"]
             for d in find_descriptions_in_pages(pages):
                 recs.append(
                     (doc_id, d.page_number, d.text, d.start_char, d.end_char, d.confidence)

@@ -38,6 +38,7 @@ from deed_ocr_spark.extract import (
     SPANS_OUT_DDL,
     extract_doc_summaries_batch,
     extract_spans_batch,
+    extract_spans_batches_arrow,
 )
 
 SALT_N = 64
@@ -89,12 +90,22 @@ def repartition_for_bucketed_write(
     ).drop("_slice")
 
 
-def extract_spans(df: DataFrame, n_partitions: int = 0) -> DataFrame:
+def extract_spans(
+    df: DataFrame, n_partitions: int = 0, use_arrow: bool = True
+) -> DataFrame:
     """Input (doc_id, spans) → output span rows (doc_id, order, kind, text,
-    media_ref, src_kind). Column-prunes the scan explicitly."""
+    media_ref, src_kind). Column-prunes the scan explicitly.
+
+    ``use_arrow`` (default) runs the kernel via ``mapInArrow``: the spans
+    column is exploded columnar instead of being materialized as one
+    Python dict per span during Arrow→pandas conversion — byte-identical
+    output (tests), lower constant factor. The mapInPandas form stays as
+    the parity baseline and the streaming kernel."""
     src = df.select("doc_id", "spans")
     if n_partitions > 0:
         src = repartition_for_extract(src, n_partitions)
+    if use_arrow:
+        return src.mapInArrow(extract_spans_batches_arrow, SPANS_OUT_DDL)
     return src.mapInPandas(extract_spans_batch, SPANS_OUT_DDL)
 
 

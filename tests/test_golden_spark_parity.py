@@ -148,3 +148,53 @@ def test_descriptions_confidence_parity_and_p6_filter(spark):
     # matches exist in the corpus) — otherwise the test is vacuous
     n_kept = sum(len(v) for v in got.values())
     assert 0 < n_kept < n_exp_total
+
+
+def test_arrow_and_pandas_extraction_paths_identical(spark):
+    """The mapInArrow production path (columnar list_flatten explode) must
+    be row-identical to the mapInPandas parity baseline — including null
+    spans arrays, empty arrays, null text/media_ref, and duplicate offsets
+    (stable tie order)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    df = corpus_df(spark, 80, seed=SEED, n_partitions=3)
+    a = sorted(tuple(r) for r in extract_spans(df, use_arrow=True).collect())
+    p = sorted(tuple(r) for r in extract_spans(df, use_arrow=False).collect())
+    assert a == p
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField(
+                "spans",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("kind", StringType()),
+                            StructField("text", StringType()),
+                            StructField("media_ref", StringType()),
+                            StructField("offset", IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    nasty = spark.createDataFrame(
+        [
+            ("d1", None),
+            ("d2", []),
+            ("d3", [("text", None, None, 5), ("media", None, "m:1", 5), ("text", "x", None, 0)]),
+            ("d4", [("html", "<p>hi</p>", "", 3), ("text", "", "", 3)]),
+        ],
+        schema,
+    )
+    a2 = sorted(tuple(r) for r in extract_spans(nasty, use_arrow=True).collect())
+    p2 = sorted(tuple(r) for r in extract_spans(nasty, use_arrow=False).collect())
+    assert a2 == p2 and len(a2) == 5

@@ -169,3 +169,51 @@ def test_doc_details_total_and_json_roundtrip(pages):
     # the sweep contract: the redundant details.TRS never survives
     assert "TRS" not in d
 
+
+
+# --- columnar explode must be byte-identical to the scalar loop --------------
+# Duplicate offsets are deliberately allowed: sorted(key=offset) is stable,
+# so the columnar lexsort must preserve input order on ties too.
+_explode_spans = st.lists(
+    st.builds(
+        dict,
+        kind=st.sampled_from(["html", "pdf_page", "ocr_region", "text", "media"]),
+        text=st.one_of(st.none(), text_strategy),
+        media_ref=st.one_of(
+            st.none(), st.text(alphabet=string.ascii_lowercase + ":/", max_size=10)
+        ),
+        offset=st.integers(0, 50),
+    ),
+    max_size=8,
+)
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), _explode_spans),
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_explode_batch_columnar_matches_scalar(rows):
+    import numpy as np
+    import pandas as pd
+
+    from deed_ocr_spark.extract import _explode_batch, _explode_batch_scalar
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([f"d{i:03d}" for i in range(len(rows))], dtype="object"),
+            "spans": pd.Series(
+                [None if r is None else np.array(r, dtype=object) for r in rows],
+                dtype="object",
+            ),
+        }
+    )
+    got = _explode_batch(pdf)
+    want = _explode_batch_scalar(pdf)
+    assert list(got.columns) == list(want.columns)
+    assert got["order"].dtype == want["order"].dtype
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

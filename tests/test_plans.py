@@ -31,7 +31,7 @@ def test_extraction_plan_no_shuffle_and_pruned(spark, tmp_path):
     df = spark.read.parquet(path)
     plan = _plan(extract_spans(df))
     assert "Exchange" not in plan, "default extraction path must not shuffle"
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # columnar explode is the production path
     m = re.search(r"ReadSchema: (.+)", plan)
     assert m and "junk" not in m.group(1), "column pruning lost"
 
