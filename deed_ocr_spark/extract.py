@@ -214,22 +214,55 @@ def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         yield _extract_flat(flat)
 
 
-def extract_spans_batches_arrow(batches) -> Iterator["object"]:
-    """mapInArrow kernel: the production explode path.
+def _explode_recordbatch(rb) -> pd.DataFrame | None:
+    """Columnar explode of an Arrow (doc_id, spans) RecordBatch to the flat
+    span frame, with zero per-span Python objects.
 
     The mapInPandas route converts the ``spans`` list<struct> column to one
     Python dict PER SPAN before the kernel even runs (Arrow→pandas
     conversion) — at 100 TB that dict materialization is pure overhead.
-    Here the Arrow batch is exploded columnar: ``list_flatten`` /
-    ``list_parent_indices`` give flat field arrays with zero per-span
-    Python objects; the per-doc offset sort is the same stable lexsort as
+    ``list_flatten`` / ``list_parent_indices`` give flat field arrays
+    directly; the per-doc offset sort is the same stable lexsort as
     ``_explode_batch``; null lists contribute nothing and null text/
-    media_ref become '' exactly like the scalar path. Output rows are
-    byte-identical to ``extract_spans_batch`` (golden + equality tests)."""
-    import pyarrow as pa
+    media_ref become '' exactly like the scalar path."""
     import pyarrow.compute as pc
 
-    out_schema = pa.schema(
+    spans = rb.column(rb.schema.get_field_index("spans"))
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    n = len(parent)
+    if n == 0:
+        return None
+    kind = flat.field("kind").to_numpy(zero_copy_only=False)
+    text = pc.fill_null(flat.field("text"), "").to_numpy(zero_copy_only=False)
+    ref = pc.fill_null(flat.field("media_ref"), "").to_numpy(zero_copy_only=False)
+    offs = flat.field("offset").to_numpy(zero_copy_only=False).astype("int64")
+    doc = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+        zero_copy_only=False
+    )[parent]
+    # parent is non-decreasing, so the stable lexsort permutes only
+    # within each document's block and `doc` needs no re-indexing
+    idx = np.lexsort((offs, parent))
+    block_start = np.zeros(n, dtype=np.int64)
+    new_block = np.flatnonzero(np.diff(parent)) + 1
+    block_start[new_block] = new_block
+    block_start = np.maximum.accumulate(block_start)
+    orders = (np.arange(n) - block_start).astype("int32")
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc, dtype="object"),
+            "src_kind": pd.Series(kind[idx], dtype="object"),
+            "in_text": pd.Series(text[idx], dtype="object"),
+            "in_media_ref": pd.Series(ref[idx], dtype="object"),
+            "order": pd.Series(orders, dtype="int32"),
+        }
+    )
+
+
+def _spans_out_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
         [
             ("doc_id", pa.string()),
             ("order", pa.int32()),
@@ -240,41 +273,20 @@ def extract_spans_batches_arrow(batches) -> Iterator["object"]:
             ("status", pa.string()),
         ]
     )
+
+
+def extract_spans_batches_arrow(batches) -> Iterator["object"]:
+    """mapInArrow kernel: the production explode path. Output rows are
+    byte-identical to ``extract_spans_batch`` (golden + equality tests)."""
+    import pyarrow as pa
+
+    out_schema = _spans_out_arrow_schema()
     for rb in batches:
         if rb.num_rows == 0:
             continue
-        spans = rb.column(rb.schema.get_field_index("spans"))
-        flat = pc.list_flatten(spans)
-        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        n = len(parent)
-        if n == 0:
+        flat_pdf = _explode_recordbatch(rb)
+        if flat_pdf is None:
             continue
-        kind = flat.field("kind").to_numpy(zero_copy_only=False)
-        text = pc.fill_null(flat.field("text"), "").to_numpy(zero_copy_only=False)
-        ref = pc.fill_null(flat.field("media_ref"), "").to_numpy(
-            zero_copy_only=False
-        )
-        offs = flat.field("offset").to_numpy(zero_copy_only=False).astype("int64")
-        doc = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
-            zero_copy_only=False
-        )[parent]
-        # parent is non-decreasing, so the stable lexsort permutes only
-        # within each document's block and `doc` needs no re-indexing
-        idx = np.lexsort((offs, parent))
-        block_start = np.zeros(n, dtype=np.int64)
-        new_block = np.flatnonzero(np.diff(parent)) + 1
-        block_start[new_block] = new_block
-        block_start = np.maximum.accumulate(block_start)
-        orders = (np.arange(n) - block_start).astype("int32")
-        flat_pdf = pd.DataFrame(
-            {
-                "doc_id": pd.Series(doc, dtype="object"),
-                "src_kind": pd.Series(kind[idx], dtype="object"),
-                "in_text": pd.Series(text[idx], dtype="object"),
-                "in_media_ref": pd.Series(ref[idx], dtype="object"),
-                "order": pd.Series(orders, dtype="int32"),
-            }
-        )
         yield pa.RecordBatch.from_pandas(
             _extract_flat(flat_pdf), schema=out_schema, preserve_index=False
         )
@@ -357,6 +369,37 @@ def extract_doc_summaries_batch(
         if not len(flat):
             continue
         yield _doc_summaries(_extract_flat(flat))
+
+
+def extract_doc_summaries_batches_arrow(batches) -> Iterator["object"]:
+    """mapInArrow twin of ``extract_doc_summaries_batch``: columnar explode
+    (no per-span dicts), then the same fused extract+merge. Row-identical
+    to the pandas kernel (equality test)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("n_pages", pa.int32()),
+            ("n_spans", pa.int32()),
+            ("n_media", pa.int32()),
+            ("combined_chars", pa.int64()),
+            ("legal_description_block", pa.list_(pa.string())),
+            ("trs", pa.list_(pa.string())),
+            ("details_json", pa.string()),
+        ]
+    )
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        flat_pdf = _explode_recordbatch(rb)
+        if flat_pdf is None:
+            continue
+        yield pa.RecordBatch.from_pandas(
+            _doc_summaries(_extract_flat(flat_pdf)),
+            schema=out_schema,
+            preserve_index=False,
+        )
 
 
 # One row per per-page legal description, WITH its confidence score —

@@ -37,6 +37,7 @@ from deed_ocr_spark.extract import (
     DOC_SUMMARY_DDL,
     SPANS_OUT_DDL,
     extract_doc_summaries_batch,
+    extract_doc_summaries_batches_arrow,
     extract_spans_batch,
     extract_spans_batches_arrow,
 )
@@ -109,12 +110,17 @@ def extract_spans(
     return src.mapInPandas(extract_spans_batch, SPANS_OUT_DDL)
 
 
-def extract_summaries(df: DataFrame, n_partitions: int = 0) -> DataFrame:
+def extract_summaries(
+    df: DataFrame, n_partitions: int = 0, use_arrow: bool = True
+) -> DataFrame:
     """Input (doc_id, spans) → one summary row per document (extraction +
-    reference merge fused in a single Arrow pass; no span shuffle)."""
+    reference merge fused in a single Arrow pass; no span shuffle).
+    ``use_arrow`` as in ``extract_spans``."""
     src = df.select("doc_id", "spans")
     if n_partitions > 0:
         src = repartition_for_extract(src, n_partitions)
+    if use_arrow:
+        return src.mapInArrow(extract_doc_summaries_batches_arrow, DOC_SUMMARY_DDL)
     return src.mapInPandas(extract_doc_summaries_batch, DOC_SUMMARY_DDL)
 
 

@@ -198,3 +198,29 @@ def test_arrow_and_pandas_extraction_paths_identical(spark):
     a2 = sorted(tuple(r) for r in extract_spans(nasty, use_arrow=True).collect())
     p2 = sorted(tuple(r) for r in extract_spans(nasty, use_arrow=False).collect())
     assert a2 == p2 and len(a2) == 5
+
+
+def test_arrow_and_pandas_summaries_paths_identical(spark):
+    """extract_summaries' mapInArrow twin must be row-identical to the
+    mapInPandas kernel (same fused extract+merge, columnar explode)."""
+    from deed_ocr_spark.job import extract_summaries
+
+    def rows(use_arrow):
+        return sorted(
+            (
+                r["doc_id"],
+                r["n_pages"],
+                r["n_spans"],
+                r["n_media"],
+                r["combined_chars"],
+                tuple(r["legal_description_block"]),
+                tuple(r["trs"]),
+                r["details_json"],
+            )
+            for r in extract_summaries(
+                corpus_df(spark, 80, seed=SEED, n_partitions=3),
+                use_arrow=use_arrow,
+            ).collect()
+        )
+
+    assert rows(True) == rows(False)
