@@ -418,42 +418,77 @@ def extract_descriptions_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, spans) batches → per-description rows."""
-    from deed_ocr_spark.kernels.legal import find_descriptions_in_pages
-
     for pdf in batches:
         if not len(pdf):
             continue
         flat = _explode_batch(pdf)
         if not len(flat):
             continue
-        out = _extract_flat(flat)
-        # One stable lexsort + block slicing instead of per-doc pandas
-        # groupby/sort_values (the _doc_summaries factorize pattern — the
-        # measured per-group pandas dispatch was the kernel's constant
-        # factor at scale).
-        codes, doc_ids = pd.factorize(out["doc_id"], sort=False)
-        order_idx = np.lexsort((out["order"].to_numpy(), codes))
-        kinds = out["kind"].to_numpy()[order_idx]
-        texts = out["text"].to_numpy()[order_idx]
-        sorted_codes = codes[order_idx]
-        bounds = np.searchsorted(sorted_codes, np.arange(len(doc_ids) + 1))
-        recs = []
-        for gi, doc_id in enumerate(doc_ids):
-            lo, hi = bounds[gi], bounds[gi + 1]
-            pages = [t for t, k in zip(texts[lo:hi], kinds[lo:hi]) if k == "text"]
-            for d in find_descriptions_in_pages(pages):
-                recs.append(
-                    (doc_id, d.page_number, d.text, d.start_char, d.end_char, d.confidence)
-                )
-        if recs:
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "doc_id",
-                    "page_number",
-                    "text",
-                    "start_char",
-                    "end_char",
-                    "confidence",
-                ],
-            ).astype({"page_number": "int32", "start_char": "int32", "end_char": "int32"})
+        out = _descriptions_from_flat(_extract_flat(flat))
+        if out is not None:
+            yield out
+
+
+def extract_descriptions_batches_arrow(batches) -> Iterator["object"]:
+    """mapInArrow twin of ``extract_descriptions_batch`` (columnar explode,
+    same per-description rows — equality-tested)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("page_number", pa.int32()),
+            ("text", pa.string()),
+            ("start_char", pa.int32()),
+            ("end_char", pa.int32()),
+            ("confidence", pa.float64()),
+        ]
+    )
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        flat_pdf = _explode_recordbatch(rb)
+        if flat_pdf is None:
+            continue
+        out = _descriptions_from_flat(_extract_flat(flat_pdf))
+        if out is not None:
+            yield pa.RecordBatch.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            )
+
+
+def _descriptions_from_flat(out: pd.DataFrame):
+    """Per-description rows from the extracted flat frame (None when the
+    batch yields no descriptions). One stable lexsort + block slicing
+    instead of per-doc pandas groupby/sort_values (the _doc_summaries
+    factorize pattern — the measured per-group pandas dispatch was the
+    kernel's constant factor at scale)."""
+    from deed_ocr_spark.kernels.legal import find_descriptions_in_pages
+
+    codes, doc_ids = pd.factorize(out["doc_id"], sort=False)
+    order_idx = np.lexsort((out["order"].to_numpy(), codes))
+    kinds = out["kind"].to_numpy()[order_idx]
+    texts = out["text"].to_numpy()[order_idx]
+    sorted_codes = codes[order_idx]
+    bounds = np.searchsorted(sorted_codes, np.arange(len(doc_ids) + 1))
+    recs = []
+    for gi, doc_id in enumerate(doc_ids):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        pages = [t for t, k in zip(texts[lo:hi], kinds[lo:hi]) if k == "text"]
+        for d in find_descriptions_in_pages(pages):
+            recs.append(
+                (doc_id, d.page_number, d.text, d.start_char, d.end_char, d.confidence)
+            )
+    if not recs:
+        return None
+    return pd.DataFrame(
+        recs,
+        columns=[
+            "doc_id",
+            "page_number",
+            "text",
+            "start_char",
+            "end_char",
+            "confidence",
+        ],
+    ).astype({"page_number": "int32", "start_char": "int32", "end_char": "int32"})

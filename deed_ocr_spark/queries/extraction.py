@@ -114,10 +114,13 @@ def x4_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the threshold is a relational filter so it shows in the plan (and can be
 # pushed/retuned without touching the kernel).
 def x5_descriptions_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deed_ocr_spark.extract import DESC_OUT_DDL, extract_descriptions_batch
+    from deed_ocr_spark.extract import (
+        DESC_OUT_DDL,
+        extract_descriptions_batches_arrow,
+    )
 
     src = _corpus(spark, sf_dir).select("doc_id", "spans")
-    descs = src.mapInPandas(extract_descriptions_batch, DESC_OUT_DDL)
+    descs = src.mapInArrow(extract_descriptions_batches_arrow, DESC_OUT_DDL)
     return descs.filter(F.col("confidence") > 0.5)
 
 

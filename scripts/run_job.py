@@ -126,11 +126,14 @@ def main(argv=None):
     if args.descriptions_out:
         from pyspark.sql import functions as F
 
-        from deed_ocr_spark.extract import DESC_OUT_DDL, extract_descriptions_batch
+        from deed_ocr_spark.extract import (
+            DESC_OUT_DDL,
+            extract_descriptions_batches_arrow,
+        )
 
         (
             df.select("doc_id", "spans")
-            .mapInPandas(extract_descriptions_batch, DESC_OUT_DDL)
+            .mapInArrow(extract_descriptions_batches_arrow, DESC_OUT_DDL)
             .filter(F.col("confidence") > 0.5)
             .write.mode("overwrite")
             .parquet(args.descriptions_out)

@@ -224,3 +224,24 @@ def test_arrow_and_pandas_summaries_paths_identical(spark):
         )
 
     assert rows(True) == rows(False)
+
+
+def test_arrow_and_pandas_descriptions_paths_identical(spark):
+    from deed_ocr_spark.extract import (
+        DESC_OUT_DDL,
+        extract_descriptions_batch,
+        extract_descriptions_batches_arrow,
+    )
+
+    src = corpus_df(spark, 80, seed=SEED, n_partitions=3).select("doc_id", "spans")
+    a = sorted(
+        tuple(r)
+        for r in src.mapInArrow(
+            extract_descriptions_batches_arrow, DESC_OUT_DDL
+        ).collect()
+    )
+    p = sorted(
+        tuple(r)
+        for r in src.mapInPandas(extract_descriptions_batch, DESC_OUT_DDL).collect()
+    )
+    assert a == p and len(a) > 0
