@@ -25,7 +25,7 @@ import pandas as pd
 
 from deed_ocr_spark.kernels.html import strip_html_boilerplate
 from deed_ocr_spark.kernels.legal import doc_legal_summary
-from deed_ocr_spark.kernels.ocr import ocr_region_text
+from deed_ocr_spark.kernels.ocr import ocr_region_text, ocr_region_texts_many
 from deed_ocr_spark.kernels.pdfblocks import (
     segment_pdf_blocks,
     segment_pdf_blocks_many,
@@ -65,7 +65,10 @@ _KIND_FN = {
 # in the Arrow batch). Must be byte-identical to the scalar kernel — the
 # scalar stays both the golden-executor path and the per-row error-channel
 # fallback if a batch kernel ever raises.
-_BATCH_KIND_FN = {"pdf_page": segment_pdf_blocks_many}
+_BATCH_KIND_FN = {
+    "pdf_page": segment_pdf_blocks_many,
+    "ocr_region": ocr_region_texts_many,
+}
 
 
 def _explode_batch_scalar(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -92,3 +92,54 @@ def ocr_region_text(payload: str, min_gap: float = 12.0) -> str:
     """Parse a scrambled OCR region and return reading-order text."""
     ordered = xy_cut_order(parse_ocr_region(payload), min_gap)
     return "\n".join(f.text for f in ordered)
+
+
+def ocr_region_texts_many(
+    payloads: Sequence[str], min_gap: float = 12.0
+) -> List[str]:
+    """Batched ``ocr_region_text``: all coordinates of every region in the
+    Arrow batch parsed by numpy's C string→float conversion in ONE call
+    (the scalar kernel's per-line ``float()`` quadruples were the parse
+    cost — same trick as pdfblocks.segment_pdf_blocks_many). The XY-cut
+    recursion itself stays per region (it is the allowed recursive
+    parser). Byte-identical to the scalar form, property-tested; payloads
+    numpy cannot parse identically (underscored floats, nan/inf — where
+    Python's float() differs or ordering of non-finite keys diverges)
+    fall back to the scalar path wholesale, which skips/handles exactly
+    those lines."""
+    import numpy as np
+
+    pidx: List[int] = []
+    coords: List[str] = []
+    texts: List[str] = []
+    for p, payload in enumerate(payloads):
+        for raw in payload.split("\n"):
+            if not raw.strip():
+                continue
+            parts = raw.split("|", 1)
+            if len(parts) != 2:
+                continue
+            cs = parts[0].split(",")
+            if len(cs) != 4:
+                continue
+            pidx.append(p)
+            coords.extend(cs)
+            texts.append(parts[1])
+    if not pidx:
+        return ["" for _ in payloads]
+    try:
+        cmat = np.asarray(coords, dtype=np.float64).reshape(-1, 4)
+    except ValueError:
+        return [ocr_region_text(p, min_gap) for p in payloads]
+    if not np.isfinite(cmat).all():
+        return [ocr_region_text(p, min_gap) for p in payloads]
+    x1 = cmat[:, 0].tolist()
+    y1 = cmat[:, 1].tolist()
+    x2 = cmat[:, 2].tolist()
+    y2 = cmat[:, 3].tolist()
+    frags_per: List[List[Fragment]] = [[] for _ in payloads]
+    for i, p in enumerate(pidx):
+        frags_per[p].append(Fragment(x1[i], y1[i], x2[i], y2[i], texts[i]))
+    return [
+        "\n".join(f.text for f in xy_cut_order(fr, min_gap)) for fr in frags_per
+    ]

@@ -217,3 +217,32 @@ def test_explode_batch_columnar_matches_scalar(rows):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+# --- batched OCR-region kernel must be byte-identical to the scalar one ------
+_ocr_line = st.builds(
+    lambda x1, y1, w, h, text: f"{x1:.1f},{y1:.1f},{x1 + w:.1f},{y1 + h:.1f}|{text}",
+    st.floats(0, 600, allow_nan=False),
+    st.floats(0, 800, allow_nan=False),
+    st.floats(5, 200, allow_nan=False),
+    st.floats(5, 30, allow_nan=False),
+    st.text(alphabet=string.ascii_letters + " .,", max_size=30),
+)
+_ocr_payload = st.one_of(
+    st.just(""),
+    st.just("garbage no pipes"),
+    st.just("1,2|too few coords"),
+    st.just("nan,1,2,3|nan coord forces scalar fallback"),
+    st.just("1_0,1,2,3|underscored float forces scalar fallback"),
+    st.lists(_ocr_line, max_size=12).map("\n".join),
+)
+
+
+@given(st.lists(_ocr_payload, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_ocr_region_texts_many_matches_scalar(payloads):
+    from deed_ocr_spark.kernels.ocr import ocr_region_text, ocr_region_texts_many
+
+    assert ocr_region_texts_many(payloads) == [
+        ocr_region_text(p) for p in payloads
+    ]
