@@ -227,12 +227,18 @@ def _shingles_of(toks):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_rebalanced(spark, sf_dir)
-    toks_df = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+def shingle_rows_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingle rows from any (doc_id, text) frame — per-doc
+    work only, so it applies equally to the full corpus and to an
+    incremental slice of newly-landed files (signatures.py)."""
+    toks_df = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     return toks_df.select(
         "doc_id", F.explode(_shingles_of(F.col("toks"))).alias("sh")
     )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_rows_of(_docs_rebalanced(spark, sf_dir))
 
 
 def _minhash_sig_from(sh: DataFrame) -> DataFrame:
@@ -486,17 +492,14 @@ ORACLES = {
 WINNOW_DDL = "doc_id bigint, fp bigint, pos int"
 
 
-def d12_winnow_fingerprints(
-    spark: SparkSession, sf_dir: str, k: int = 16, w: int = 8
-) -> DataFrame:
-    # k=16/w=8 ⇒ shared-substring guarantee at 23 chars (~4 words): short
-    # incidental overlaps (ubiquitous in a small-vocabulary corpus) don't
-    # fingerprint, long verbatim passages always do.
+def winnow_fingerprints_of(docs: DataFrame, k: int = 16, w: int = 8) -> DataFrame:
+    """Winnowing fingerprints from any (doc_id, text) frame — per-doc
+    kernel, incremental-slice-safe like shingle_rows_of."""
     import pandas as pd
 
     from deed_ocr_spark.kernels.fingerprint import winnow_arrays_many
 
-    d = _docs_rebalanced(spark, sf_dir).select("doc_id", "text")
+    d = docs.select("doc_id", "text")
 
     def kernel(batches):
         # whole-batch vectorization: ONE rolling-hash + windowed-argmin pass
@@ -518,6 +521,15 @@ def d12_winnow_fingerprints(
                 )
 
     return d.mapInPandas(kernel, WINNOW_DDL)
+
+
+def d12_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 16, w: int = 8
+) -> DataFrame:
+    # k=16/w=8 ⇒ shared-substring guarantee at 23 chars (~4 words): short
+    # incidental overlaps (ubiquitous in a small-vocabulary corpus) don't
+    # fingerprint, long verbatim passages always do.
+    return winnow_fingerprints_of(_docs_rebalanced(spark, sf_dir), k=k, w=w)
 
 
 def winnow_dup_pairs_from(

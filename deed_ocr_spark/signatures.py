@@ -44,58 +44,149 @@ SIG_CACHE_ROOT = os.environ.get(
 )
 
 
-def _corpus_key(sf_dir: str) -> str:
-    """Deterministic key for the documents table's current content: path +
-    (name, size, mtime_ns) of every parquet part. Regenerated data ⇒ new
-    key ⇒ stale signature tables are never read. On an Iceberg catalog this
-    key would simply be the table's snapshot id."""
-    p = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
-    parts = [p]
+def _docs_parquet_path(sf_dir: str) -> str:
+    return os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+
+
+def _corpus_listing(sf_dir: str) -> dict:
+    """{part_name: "size:mtime_ns"} of the documents parquet — the change
+    detector AND the incremental unit. On an Iceberg catalog this would be
+    the snapshot's data-file manifest; here the filesystem listing plays
+    that role."""
+    p = _docs_parquet_path(sf_dir)
     if os.path.isdir(p):
-        for name in sorted(os.listdir(p)):
-            st = os.stat(os.path.join(p, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    else:
-        st = os.stat(p)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+        return {
+            name: f"{os.stat(os.path.join(p, name)).st_size}:"
+            f"{os.stat(os.path.join(p, name)).st_mtime_ns}"
+            for name in sorted(os.listdir(p))
+            if not name.startswith(("_", "."))
+        }
+    st = os.stat(p)
+    return {os.path.basename(p): f"{st.st_size}:{st.st_mtime_ns}"}
 
 
-def _family_df(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
+def _family_df_of(docs: DataFrame, family: str) -> DataFrame:
+    """Signature family from any (doc_id, text) frame. Every family is
+    strictly per-document work, which is what makes incremental
+    maintenance sound: signatures of new documents never depend on old
+    ones."""
+    from deed_ocr_spark.queries.textpipe import (
+        shingle_rows_of,
+        winnow_fingerprints_of,
+    )
+
     if family == SHINGLES:
-        return _shingle_rows(spark, sf_dir)
+        return shingle_rows_of(docs)
     if family == MINHASH_SIGS:
-        return _minhash_sig_from(_shingle_rows(spark, sf_dir))
+        return _minhash_sig_from(shingle_rows_of(docs))
     if family == WINNOW_FPS:
-        return d12_winnow_fingerprints(spark, sf_dir)
+        return winnow_fingerprints_of(docs)
     raise ValueError(f"unknown signature family: {family!r}")
+
+
+def _rebalanced(spark: SparkSession, docs: DataFrame, n_files: int) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    if n_files < par:
+        docs = docs.repartition(par, "doc_id")
+    return docs
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifest.json")
+
+
+def _read_manifest(table_dir: str):
+    import json
+
+    try:
+        with open(_manifest_path(table_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(table_dir: str, listing: dict) -> None:
+    import json
+
+    tmp = _manifest_path(table_dir) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(listing, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_dir))
 
 
 def ensure_signature_table(
     spark: SparkSession, sf_dir: str, family: str
 ) -> str:
-    """Materialize one signature family for the corpus at ``sf_dir`` (if
-    not already on disk) and return its parquet path.
+    """Materialize one signature family for the corpus at ``sf_dir`` and
+    return its parquet path — with INCREMENTAL maintenance.
 
     This is how the REGISTERED d7/d13 get a deterministic, cache-free plan:
     the first invocation pays one corpus pass and a parquet write (visible,
-    bounded cost); every later invocation — including each bench trial and
-    every downstream query in a curation run — scans the narrow signature
-    table from disk. No executor-memory cache residency is involved, so
-    the cost no longer swings with session cache warmth or co-tenant
-    memory pressure (the round-3 d7/d13 regression). Writes are atomic
-    (write to a pid-suffixed temp dir, rename into place), so concurrent
-    callers race benignly."""
-    final = os.path.join(SIG_CACHE_ROOT, _corpus_key(sf_dir), family)
-    if os.path.isdir(final):
-        return final
-    tmp = f"{final}.tmp-{os.getpid()}"
-    _family_df(spark, sf_dir, family).write.mode("overwrite").parquet(tmp)
+    bounded cost); every later invocation — each bench trial, every
+    downstream query in a curation run — scans the narrow signature table
+    from disk. No executor-memory cache residency is involved, so the cost
+    no longer swings with session cache warmth or co-tenant memory
+    pressure (the round-3 d7/d13 regression).
+
+    Maintenance states, decided by a ``_manifest.json`` (the processed
+    corpus-part listing; Spark/DuckDB readers ignore underscore files):
+
+    * manifest == current listing → table is current, return it;
+    * listing adds NEW parts and every old part is untouched → APPEND
+      signatures of only the new files (per-doc work, so new signatures
+      never depend on old documents) — the 100 TB shape: a day's landed
+      partition costs one pass over that partition, never a corpus
+      rescan;
+    * any old part changed or disappeared → full rebuild into a temp dir
+      swapped into place.
+
+    Like any table-maintenance job, concurrent maintainers are not
+    supported (readers are fine); the manifest write is atomic."""
+    root = os.path.join(
+        SIG_CACHE_ROOT,
+        hashlib.md5(_docs_parquet_path(sf_dir).encode()).hexdigest()[:16],
+        family,
+    )
+    listing = _corpus_listing(sf_dir)
+    manifest = _read_manifest(root) if os.path.isdir(root) else None
+    if manifest == listing:
+        return root
+
+    docs_path = _docs_parquet_path(sf_dir)
+    if (
+        manifest
+        and set(manifest) <= set(listing)
+        and all(listing[k] == v for k, v in manifest.items())
+    ):
+        new_parts = [k for k in listing if k not in manifest]
+        paths = (
+            [os.path.join(docs_path, n) for n in new_parts]
+            if os.path.isdir(docs_path)
+            else [docs_path]
+        )
+        docs = _rebalanced(spark, spark.read.parquet(*paths), len(paths))
+        _family_df_of(docs, family).write.mode("append").parquet(root)
+        _write_manifest(root, listing)
+        return root
+
+    # full (re)build
+    tmp = f"{root}.tmp-{os.getpid()}"
+    docs = _rebalanced(
+        spark, spark.read.parquet(docs_path), len(listing)
+    )
+    _family_df_of(docs, family).write.mode("overwrite").parquet(tmp)
+    _write_manifest(tmp, listing)
+    old = None
+    if os.path.isdir(root):
+        old = f"{root}.old-{os.getpid()}"
+        os.rename(root, old)
     try:
-        os.rename(tmp, final)
-    except OSError:  # another process won the race
+        os.rename(tmp, root)
+    except OSError:  # a concurrent builder won the race
         shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    return root
 
 
 def materialize_signatures(

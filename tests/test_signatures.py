@@ -51,8 +51,9 @@ def test_winnow_pairs_match_in_session(spark, sig_dir):
 
 def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, monkeypatch):
     """The registered-query route: first call materializes, second call
-    reuses the same path without rewriting; touching the corpus parquet
-    (new mtime) yields a NEW content key, so stale tables are never read."""
+    reuses the table without rewriting; touching an existing corpus part
+    (changed mtime) triggers a full rebuild — stale tables are never
+    read."""
     import os
     import shutil
 
@@ -65,14 +66,60 @@ def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, mo
     shutil.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
 
     p1 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
-    mtime1 = os.path.getmtime(p1)
+    n1 = spark.read.parquet(p1).count()
+    m1 = sig._read_manifest(p1)
+    parts1 = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
     assert sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES) == p1
-    assert os.path.getmtime(p1) == mtime1, "second call must not rewrite"
+    parts_again = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
+    assert parts_again == parts1, "unchanged corpus must not rewrite anything"
 
     os.utime(corpus / "documents.parquet")  # simulate regenerated data
     p2 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
-    assert p2 != p1, "content key must change when the corpus changes"
-    assert spark.read.parquet(p2).count() == spark.read.parquet(p1).count()
+    assert p2 == p1, "table lives at the corpus-keyed path"
+    assert sig._read_manifest(p2) != m1, "manifest must track the new listing"
+    assert spark.read.parquet(p2).count() == n1
+
+
+def test_ensure_signature_table_incremental_append(spark, tmp_path, monkeypatch):
+    """New corpus parts landing beside untouched old parts must cost one
+    pass over ONLY the new files (append), old signature files physically
+    untouched — and the result must equal a from-scratch build over the
+    combined corpus. The 100 TB maintenance shape."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import deed_ocr_spark.signatures as sig
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "sigcache"))
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    half = tbl.num_rows // 2
+    corpus = tmp_path / "sf" / "documents.parquet"
+    corpus.mkdir(parents=True)
+    pq.write_table(tbl.slice(0, half), corpus / "part-000.parquet")
+
+    p = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.MINHASH_SIGS)
+    old_files = {
+        f: os.path.getmtime(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    }
+    n_half = spark.read.parquet(p).count()
+
+    pq.write_table(tbl.slice(half), corpus / "part-001.parquet")
+    p2 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.MINHASH_SIGS)
+    assert p2 == p
+    for f, mt in old_files.items():  # append: old signature files untouched
+        assert os.path.getmtime(os.path.join(p, f)) == mt, f
+    got = {tuple(r) for r in spark.read.parquet(p2).collect()}
+    assert len(got) == tbl.num_rows and n_half < tbl.num_rows
+
+    # equality vs a from-scratch build over the combined corpus
+    scratch = tmp_path / "scratch"
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(scratch))
+    p3 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.MINHASH_SIGS)
+    want = {tuple(r) for r in spark.read.parquet(p3).collect()}
+    assert got == want
 
 
 def test_from_table_plans_are_cache_free_and_cartesian_free(spark, sig_dir):
