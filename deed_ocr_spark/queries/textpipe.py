@@ -613,6 +613,37 @@ def d10_minhash_fast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- D15: benchmark-contamination scan (unregistered; 50-row driver cap —
+# DuckDB-oracle-checked in tests/test_contamination.py instead) ---------------
+# The training-data hygiene op the dedup family doesn't cover: flag corpus
+# documents sharing >= min_shared 3-token shingles with a (small) benchmark
+# /eval set. The SCALE SHAPE is the point and differs from d7: the
+# benchmark side is tiny, so its shingle set BROADCASTS and the corpus
+# side is never shuffled — a map-side hash join + partial aggregation,
+# vs d7's shuffle-both-sides LSH candidate join. Both sides read the
+# materialized shingle table (two parquet scans, no re-tokenize).
+def d15_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_mod: int = 97,
+    min_shared: int = 3,
+) -> DataFrame:
+    from deed_ocr_spark.signatures import SHINGLES, ensure_signature_table
+
+    sh = spark.read.parquet(ensure_signature_table(spark, sf_dir, SHINGLES))
+    bench = sh.filter((F.col("doc_id") % bench_mod) == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    corpus = sh.filter((F.col("doc_id") % bench_mod) != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+        .select("doc_id", "bench_id", "shared_shingles")
+    )
+
+
 # --- D14: the composed training-data keep-list -------------------------------
 # What a 100 TB curation pipeline actually runs, as ONE plan: language
 # gate ⋈ quality gate → exact-dedup keeper semi-join → MinHash-LSH
