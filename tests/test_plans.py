@@ -119,3 +119,18 @@ def test_ann_candidate_join_is_not_cartesian(spark):
         assert "CartesianProduct" not in plan
         # the candidate self-join runs on the bucket keys
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_rides_the_equi_key(spark):
+    """j1's date predicate is a residual on the l_orderkey equi-join — it
+    must never degrade to a nested-loop/cartesian range join."""
+    from deed_ocr_spark.queries.relational import j1_range_join
+
+    plan = _plan(j1_range_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
