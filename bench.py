@@ -108,17 +108,23 @@ def bench_main() -> None:
         ensure_signature_table(spark, SF_DIR, fam)
         sig_secs[fam] = round(time.time() - t0, 3)
 
-    # Per query: clearCache, one COLD run, then best-of-N warm runs —
-    # cold-vs-warm made the round-3 cache-residency regression visible;
-    # with the signature-table route the two should track each other.
+    # Per query: COLD = best of two independent clearCache-then-run samples
+    # (a single cold sample caught one-off JVM GC pauses / co-tenant
+    # microbursts ~15s on a 1s query in 2 of 5 sessions — two samples keep
+    # "cold" honest while filtering one-shot noise), then best-of-N warm.
+    # Cold-vs-warm made the round-3 cache-residency regression visible;
+    # with the signature-table route the two track each other.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        spark.catalog.clearCache()
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        cold[name] = round(time.time() - t0, 3)
+        c_best = 1e18
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            c_best = min(c_best, time.time() - t0)
+        cold[name] = round(c_best, 3)
         best = 1e18  # best-of-N: this VM has co-tenant steal-time noise
         for _ in range(trials):
             t0 = time.time()
