@@ -4,7 +4,7 @@ The reference's incremental story is batch retry over a filesystem ledger
 (SURVEY.md §2.8 — mapped to state.py). For a continuously-arriving corpus
 (the training-data-pipeline case) the same extraction kernels also run
 unchanged under Structured Streaming: a file/Iceberg streaming source of
-``(doc_id, spans)`` rows → the stateless ``mapInPandas`` kernel → an
+``(doc_id, spans)`` rows → the stateless ``mapInArrow`` kernel → an
 append sink with checkpointing. Exactly-once comes from the streaming
 checkpoint (source offsets + file-sink manifest), complementing the batch
 ledger.
@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from deed_ocr_spark.extract import SPANS_OUT_DDL, extract_spans_batch
+from deed_ocr_spark.extract import SPANS_OUT_DDL, extract_spans_batches_arrow
 
 SPANS_SCHEMA = StructType(
     [
@@ -54,14 +54,16 @@ SPANS_SCHEMA = StructType(
 
 
 def stream_extract_spans(spark: SparkSession, input_dir: str) -> DataFrame:
-    """Streaming DataFrame of extracted spans from a parquet file source."""
+    """Streaming DataFrame of extracted spans from a parquet file source —
+    the same mapInArrow columnar-explode kernel as the batch job, so the
+    two paths cannot drift (byte-identical by the batch equality tests)."""
     src = (
         spark.readStream.schema(SPANS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
         .select("doc_id", "spans")
     )
-    return src.mapInPandas(extract_spans_batch, SPANS_OUT_DDL)
+    return src.mapInArrow(extract_spans_batches_arrow, SPANS_OUT_DDL)
 
 
 # --- stateful streaming: incremental sessionization --------------------------

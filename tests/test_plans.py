@@ -90,7 +90,9 @@ def test_x4_details_plan_stays_zero_exchange(spark):
 
     plan = _plan(x4_doc_details(spark, SF))
     assert "Exchange" not in plan
-    assert "MapInPandas" in plan
+    # corpus synthesis is a MapInPandas generator; the summaries kernel
+    # itself must be the MapInArrow columnar-explode path
+    assert "MapInArrow" in plan
 
 
 def test_documents_scan_prunes_to_used_columns(spark):
