@@ -296,10 +296,14 @@ def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parquet write, every later call scans the narrow shingle table from disk
 # — deterministic cost, no session-cache residency.
 def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deed_ocr_spark.signatures import SHINGLES, ensure_signature_table
+    from deed_ocr_spark.signatures import (
+        SHINGLES,
+        ensure_signature_table,
+        read_signature_table,
+    )
 
     path = ensure_signature_table(spark, sf_dir, SHINGLES)
-    return ngram_jaccard_pairs_from(spark.read.parquet(path))
+    return ngram_jaccard_pairs_from(read_signature_table(spark, path))
 
 
 def ngram_jaccard_pairs_from(toks_src: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -577,10 +581,14 @@ def d13_winnow_dup_pairs(
     # (signatures.py): the winnowing kernel runs once per corpus (at first
     # materialization), and both consumers scan narrow parquet from disk
     # instead of depending on session-cache residency.
-    from deed_ocr_spark.signatures import WINNOW_FPS, ensure_signature_table
+    from deed_ocr_spark.signatures import (
+        WINNOW_FPS,
+        ensure_signature_table,
+        read_signature_table,
+    )
 
     path = ensure_signature_table(spark, sf_dir, WINNOW_FPS)
-    fps = spark.read.parquet(path).select("doc_id", "fp")
+    fps = read_signature_table(spark, path).select("doc_id", "fp")
     return winnow_dup_pairs_from(fps, min_shared=min_shared, max_df=max_df)
 
 
@@ -628,9 +636,13 @@ def d15_contamination(
     bench_mod: int = 97,
     min_shared: int = 3,
 ) -> DataFrame:
-    from deed_ocr_spark.signatures import SHINGLES, ensure_signature_table
+    from deed_ocr_spark.signatures import (
+        SHINGLES,
+        ensure_signature_table,
+        read_signature_table,
+    )
 
-    sh = spark.read.parquet(ensure_signature_table(spark, sf_dir, SHINGLES))
+    sh = read_signature_table(spark, ensure_signature_table(spark, sf_dir, SHINGLES))
     bench = sh.filter((F.col("doc_id") % bench_mod) == 0).select(
         F.col("doc_id").alias("bench_id"), "sh"
     )

@@ -44,6 +44,13 @@ SIG_CACHE_ROOT = os.environ.get(
 )
 
 
+def read_signature_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Scan a signature table, including its incremental add-*
+    subdirectories (recursive listing; underscore-prefixed temp/metadata
+    files are ignored by the reader)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(table_dir)
+
+
 def _docs_parquet_path(sf_dir: str) -> str:
     return os.path.join(os.path.realpath(sf_dir), "documents.parquet")
 
@@ -158,14 +165,29 @@ def ensure_signature_table(
         and set(manifest) <= set(listing)
         and all(listing[k] == v for k, v in manifest.items())
     ):
-        new_parts = [k for k in listing if k not in manifest]
-        paths = (
-            [os.path.join(docs_path, n) for n in new_parts]
-            if os.path.isdir(docs_path)
-            else [docs_path]
+        # Append = one atomically-renamed SUBDIRECTORY per new-part set,
+        # named deterministically from that set (readers list the table
+        # recursively). A plain mode('append') into the root would
+        # double-append after a crash between the write and the manifest
+        # update — duplicate shingle rows silently corrupt d7's Jaccard
+        # sizes. With the deterministic name, a replayed append finds the
+        # directory already present, skips the compute, and only repairs
+        # the manifest: idempotent.
+        new_parts = sorted(k for k in listing if k not in manifest)
+        add_dir = os.path.join(
+            root,
+            "add-" + hashlib.md5("|".join(new_parts).encode()).hexdigest()[:12],
         )
-        docs = _rebalanced(spark, spark.read.parquet(*paths), len(paths))
-        _family_df_of(docs, family).write.mode("append").parquet(root)
+        if not os.path.isdir(add_dir):
+            paths = [os.path.join(docs_path, n) for n in new_parts]
+            docs = _rebalanced(spark, spark.read.parquet(*paths), len(paths))
+            # underscore prefix: a leaked temp dir is invisible to readers
+            tmp = os.path.join(root, f"_tmp-{os.getpid()}")
+            _family_df_of(docs, family).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, add_dir)
+            except OSError:  # concurrent append of the same part set
+                shutil.rmtree(tmp, ignore_errors=True)
         _write_manifest(root, listing)
         return root
 

@@ -66,7 +66,7 @@ def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, mo
     shutil.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
 
     p1 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
-    n1 = spark.read.parquet(p1).count()
+    n1 = sig.read_signature_table(spark, p1).count()
     m1 = sig._read_manifest(p1)
     parts1 = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
     assert sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES) == p1
@@ -77,7 +77,7 @@ def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, mo
     p2 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
     assert p2 == p1, "table lives at the corpus-keyed path"
     assert sig._read_manifest(p2) != m1, "manifest must track the new listing"
-    assert spark.read.parquet(p2).count() == n1
+    assert sig.read_signature_table(spark, p2).count() == n1
 
 
 def test_ensure_signature_table_incremental_append(spark, tmp_path, monkeypatch):
@@ -104,22 +104,54 @@ def test_ensure_signature_table_incremental_append(spark, tmp_path, monkeypatch)
         for f in os.listdir(p)
         if f.endswith(".parquet")
     }
-    n_half = spark.read.parquet(p).count()
+    n_half = sig.read_signature_table(spark, p).count()
 
     pq.write_table(tbl.slice(half), corpus / "part-001.parquet")
     p2 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.MINHASH_SIGS)
     assert p2 == p
     for f, mt in old_files.items():  # append: old signature files untouched
         assert os.path.getmtime(os.path.join(p, f)) == mt, f
-    got = {tuple(r) for r in spark.read.parquet(p2).collect()}
+    got = {tuple(r) for r in sig.read_signature_table(spark, p2).collect()}
     assert len(got) == tbl.num_rows and n_half < tbl.num_rows
 
     # equality vs a from-scratch build over the combined corpus
     scratch = tmp_path / "scratch"
     monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(scratch))
     p3 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.MINHASH_SIGS)
-    want = {tuple(r) for r in spark.read.parquet(p3).collect()}
+    want = {tuple(r) for r in sig.read_signature_table(spark, p3).collect()}
     assert got == want
+
+
+def test_ensure_signature_table_append_replay_is_idempotent(spark, tmp_path, monkeypatch):
+    """Crash-window replay: if the process dies AFTER the add-directory
+    rename but BEFORE the manifest update, the next call must repair the
+    manifest WITHOUT duplicating signatures (duplicate shingle rows would
+    silently corrupt d7's Jaccard sizes)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import deed_ocr_spark.signatures as sig
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "sigcache"))
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    half = tbl.num_rows // 2
+    corpus = tmp_path / "sf" / "documents.parquet"
+    corpus.mkdir(parents=True)
+    pq.write_table(tbl.slice(0, half), corpus / "part-000.parquet")
+    p = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    pre_append_manifest = sig._read_manifest(p)
+
+    pq.write_table(tbl.slice(half), corpus / "part-001.parquet")
+    sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    n_after = sig.read_signature_table(spark, p).count()
+
+    # simulate the crash: roll the manifest back to its pre-append state
+    # (the add-directory is already in place)
+    sig._write_manifest(p, pre_append_manifest)
+    sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    assert sig.read_signature_table(spark, p).count() == n_after, "replay duplicated rows"
+    assert sig._read_manifest(p) != pre_append_manifest
 
 
 def test_from_table_plans_are_cache_free_and_cartesian_free(spark, sig_dir):
