@@ -189,13 +189,32 @@ def scaling_worker(cores: int, corpus_path: str, trials: int = 4) -> None:
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
 
 
+def _allowed_cpus() -> list[int]:
+    """CPU ids this process may actually use — the cgroup/cpuset-aware
+    affinity set, not the host's total count (os.cpu_count() over-reports
+    inside containers, and the allowed ids may be sparse, e.g. 4-11)."""
+    try:
+        return sorted(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover — non-Linux
+        return list(range(os.cpu_count() or 1))
+
+
 def _scale_tiers(tiers: tuple[int, ...] = (2, 8, 32)) -> tuple[int, ...]:
-    """Clamp the core tiers to this host's CPU count: taskset -c 0-{n-1}
-    fails outright when n exceeds the available CPUs, which would abort the
-    whole scaling run on a smaller machine."""
-    n = os.cpu_count() or 1
+    """Clamp the core tiers to the ALLOWED CPU set: pinning to more CPUs
+    than the affinity mask grants fails outright and would abort the whole
+    scaling run."""
+    n = len(_allowed_cpus())
     kept = tuple(c for c in tiers if c <= n)
     return kept or (n,)
+
+
+def _taskset_prefix(cores: int) -> list:
+    """taskset argv pinning to the FIRST `cores` allowed CPU ids (the
+    allowed set may not start at 0)."""
+    if not os.path.exists("/usr/bin/taskset"):
+        return []
+    ids = ",".join(str(c) for c in _allowed_cpus()[:cores])
+    return ["/usr/bin/taskset", "-c", ids]
 
 
 def _hardware_baseline(n_per_proc: int = 4000) -> dict:
@@ -245,9 +264,9 @@ def scaling_main() -> None:
         # to exactly N CPUs: local[N] alone only bounds task slots, so an
         # unpinned 2-core run borrows silicon for GC/Arrow/shuffle threads
         # and understates scaling. Pinning emulates an N-core executor.
-        cmd = [sys.executable, __file__, "--scaling-worker", str(cores), corpus_path]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = _taskset_prefix(cores) + [
+            sys.executable, __file__, "--scaling-worker", str(cores), corpus_path
+        ]
         res = subprocess.run(cmd, capture_output=True, text=True, check=True)
         rec = json.loads(res.stdout.strip().splitlines()[-1])
         out[cores] = rec["docs_per_sec"]
@@ -326,8 +345,7 @@ def scaling_submit_main() -> None:
             "--buckets",
             "64",
         ]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = _taskset_prefix(cores) + cmd
         time.sleep(5)
         res = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = next(

@@ -71,6 +71,14 @@ _BATCH_KIND_FN = {
 }
 
 
+def _span_valid(s) -> bool:
+    """Null span elements and spans without an offset are DROPPED — the
+    offset is the ordering key, so a span lacking one is malformed. One
+    rule shared by the scalar spec and both columnar paths, so the
+    byte-identical contract covers nullable array elements too."""
+    return s is not None and s["offset"] is not None
+
+
 def _explode_batch_scalar(pdf: pd.DataFrame) -> pd.DataFrame:
     """Reference (per-span loop) explode — kept as the executable spec the
     columnar path is property-tested against (tests/test_kernel_properties)."""
@@ -82,7 +90,9 @@ def _explode_batch_scalar(pdf: pd.DataFrame) -> pd.DataFrame:
     for doc_id, spans in zip(pdf["doc_id"].to_numpy(), pdf["spans"].to_numpy()):
         if spans is None:
             continue
-        ordered = sorted(spans, key=lambda s: s["offset"])
+        ordered = sorted(
+            (s for s in spans if _span_valid(s)), key=lambda s: s["offset"]
+        )
         for order, s in enumerate(ordered):
             doc_ids.append(doc_id)
             kinds.append(s["kind"])
@@ -116,12 +126,23 @@ def _explode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     spans_col = pdf["spans"].to_numpy()
     n_rows = len(spans_col)
     lens = np.fromiter(
-        (0 if s is None else len(s) for s in spans_col), dtype=np.int64, count=n_rows
+        (
+            0 if spans is None else sum(1 for s in spans if _span_valid(s))
+            for spans in spans_col
+        ),
+        dtype=np.int64,
+        count=n_rows,
     )
     total = int(lens.sum())
     if total == 0:
         return _explode_batch_scalar(pdf.iloc[:0])
-    flat = [s for spans in spans_col if spans is not None for s in spans]
+    flat = [
+        s
+        for spans in spans_col
+        if spans is not None
+        for s in spans
+        if _span_valid(s)
+    ]
     kinds = np.fromiter((s["kind"] for s in flat), dtype=object, count=total)
     texts = np.fromiter((s["text"] or "" for s in flat), dtype=object, count=total)
     refs = np.fromiter(
@@ -240,13 +261,35 @@ def _explode_recordbatch(rb) -> pd.DataFrame | None:
     spans = rb.column(rb.schema.get_field_index("spans"))
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-    n = len(parent)
-    if n == 0:
+    if len(parent) == 0:
         return None
     kind = flat.field("kind").to_numpy(zero_copy_only=False)
     text = pc.fill_null(flat.field("text"), "").to_numpy(zero_copy_only=False)
     ref = pc.fill_null(flat.field("media_ref"), "").to_numpy(zero_copy_only=False)
-    offs = flat.field("offset").to_numpy(zero_copy_only=False).astype("int64")
+    offs_arr = flat.field("offset")
+    offs_np = offs_arr.to_numpy(zero_copy_only=False)  # float64+NaN if nulls
+    # _span_valid rule: drop null struct elements and null offsets (struct
+    # children do NOT inherit the parent's validity in Arrow, so the
+    # struct-level mask must be applied explicitly or a null element would
+    # surface as a garbage row)
+    valid = np.asarray(
+        pc.and_kleene(flat.is_valid(), offs_arr.is_valid()).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=bool,
+    )
+    if not valid.all():
+        parent = parent[valid]
+        if len(parent) == 0:
+            return None
+        kind, text, ref, offs_np = (
+            kind[valid],
+            text[valid],
+            ref[valid],
+            offs_np[valid],
+        )
+    offs = offs_np.astype("int64")
+    n = len(parent)
     doc = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
         zero_copy_only=False
     )[parent]

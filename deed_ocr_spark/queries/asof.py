@@ -67,9 +67,18 @@ def asof_join(
     dup = set(right_cols) & set(left.columns)
     if dup:
         raise ValueError(f"right_cols collide with left columns: {sorted(dup)}")
-    reserved = [c for c in (*right_cols, *on) if c.startswith("__asof_")]
+    reserved = sorted(
+        {
+            c
+            for c in (*right_cols, *on, *left.columns, left_ts, right_ts)
+            if c.startswith("__asof_")
+        }
+    )
     if reserved:
-        raise ValueError(f"__asof_* names are reserved: {sorted(reserved)}")
+        # a left column named __asof_ts would be silently overwritten by
+        # the internal timestamp; __asof_valid would collide in the output
+        # projection — fail fast on ANY side
+        raise ValueError(f"__asof_* names are reserved: {reserved}")
 
     l_side = left.withColumn(_TS, F.col(left_ts)).withColumn(_MARK, F.lit(1))
     r_side = (

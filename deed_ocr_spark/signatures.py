@@ -37,11 +37,12 @@ SHINGLES = "shingles"
 MINHASH_SIGS = "minhash_sigs"
 WINNOW_FPS = "winnow_fps"
 
-# Root for content-keyed signature tables (the registered d7/d13 route —
-# see ensure_signature_table). Overridable for tests / alternate scratch.
-SIG_CACHE_ROOT = os.environ.get(
-    "SPARK_GRAFT_SIG_CACHE", "/tmp/deed_ocr_signatures"
-)
+# Default root for content-keyed signature tables (the registered d7/d13
+# route — see ensure_signature_table). Per-uid so two users on one host
+# never fight over a world-shared /tmp directory; the SPARK_GRAFT_SIG_CACHE
+# env var is consulted at CALL time (not import time), and tests
+# monkeypatch this module attribute directly.
+SIG_CACHE_ROOT = f"/tmp/deed_ocr_signatures-{os.getuid()}"
 
 
 def read_signature_table(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -121,6 +122,34 @@ def _write_manifest(table_dir: str, listing: dict) -> None:
     os.replace(tmp, _manifest_path(table_dir))
 
 
+def _processed_parts(root: str, manifest: dict) -> dict:
+    """The parts whose signatures are actually ON DISK: the manifest plus
+    every committed add-directory's own part record. An add-dir that landed
+    without its manifest update (crash window) is still counted, so a
+    replay — even one whose new-part set has since GROWN — never
+    recomputes a part that is already present (which would duplicate
+    rows)."""
+    import json
+
+    parts = dict(manifest or {})
+    for name in os.listdir(root):
+        if not name.startswith("add-"):
+            continue
+        try:
+            with open(os.path.join(root, name, "_parts.json")) as f:
+                parts.update(json.load(f))
+        except (OSError, ValueError):  # pragma: no cover — torn add dir
+            continue
+    return parts
+
+
+def _write_parts_record(dir_path: str, parts: dict) -> None:
+    import json
+
+    with open(os.path.join(dir_path, "_parts.json"), "w") as f:
+        json.dump(parts, f, sort_keys=True)
+
+
 def ensure_signature_table(
     spark: SparkSession, sf_dir: str, family: str
 ) -> str:
@@ -149,8 +178,9 @@ def ensure_signature_table(
 
     Like any table-maintenance job, concurrent maintainers are not
     supported (readers are fine); the manifest write is atomic."""
+    cache_root = os.environ.get("SPARK_GRAFT_SIG_CACHE", SIG_CACHE_ROOT)
     root = os.path.join(
-        SIG_CACHE_ROOT,
+        cache_root,
         hashlib.md5(_docs_parquet_path(sf_dir).encode()).hexdigest()[:16],
         family,
     )
@@ -160,20 +190,25 @@ def ensure_signature_table(
         return root
 
     docs_path = _docs_parquet_path(sf_dir)
+    processed = _processed_parts(root, manifest) if os.path.isdir(root) else None
+    if processed == listing:  # crash landed the data, only the manifest lags
+        _write_manifest(root, listing)
+        return root
     if (
-        manifest
-        and set(manifest) <= set(listing)
-        and all(listing[k] == v for k, v in manifest.items())
+        processed
+        and set(processed) <= set(listing)
+        and all(listing[k] == v for k, v in processed.items())
     ):
-        # Append = one atomically-renamed SUBDIRECTORY per new-part set,
-        # named deterministically from that set (readers list the table
-        # recursively). A plain mode('append') into the root would
-        # double-append after a crash between the write and the manifest
-        # update — duplicate shingle rows silently corrupt d7's Jaccard
-        # sizes. With the deterministic name, a replayed append finds the
-        # directory already present, skips the compute, and only repairs
-        # the manifest: idempotent.
-        new_parts = sorted(k for k in listing if k not in manifest)
+        # Append = one atomically-renamed SUBDIRECTORY per new-part set
+        # (readers list the table recursively). A plain mode('append')
+        # into the root would double-append after a crash between the
+        # write and the manifest update — duplicate shingle rows silently
+        # corrupt d7's Jaccard sizes. The processed set is derived from
+        # the manifest PLUS every committed add-dir's own _parts.json, so
+        # a replay never recomputes a part already on disk even if more
+        # parts have landed since the crash.
+        new_items = {k: listing[k] for k in listing if k not in processed}
+        new_parts = sorted(new_items)
         add_dir = os.path.join(
             root,
             "add-" + hashlib.md5("|".join(new_parts).encode()).hexdigest()[:12],
@@ -184,10 +219,16 @@ def ensure_signature_table(
             # underscore prefix: a leaked temp dir is invisible to readers
             tmp = os.path.join(root, f"_tmp-{os.getpid()}")
             _family_df_of(docs, family).write.mode("overwrite").parquet(tmp)
+            _write_parts_record(tmp, new_items)
             try:
                 os.rename(tmp, add_dir)
-            except OSError:  # concurrent append of the same part set
+            except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(add_dir):
+                    # not the benign concurrent-append race: surfacing the
+                    # failure beats recording the parts as processed and
+                    # silently dropping their signatures forever
+                    raise
         _write_manifest(root, listing)
         return root
 

@@ -192,12 +192,17 @@ def test_arrow_and_pandas_extraction_paths_identical(spark):
             ("d2", []),
             ("d3", [("text", None, None, 5), ("media", None, "m:1", 5), ("text", "x", None, 0)]),
             ("d4", [("html", "<p>hi</p>", "", 3), ("text", "", "", 3)]),
+            # null struct element and null-offset span: both DROPPED by the
+            # shared _span_valid rule (struct children don't inherit the
+            # parent's validity in Arrow — the garbage-row trap)
+            ("d5", [None, ("text", "keep", "", 1), ("text", "no-offset", "", None)]),
         ],
         schema,
     )
     a2 = sorted(tuple(r) for r in extract_spans(nasty, use_arrow=True).collect())
     p2 = sorted(tuple(r) for r in extract_spans(nasty, use_arrow=False).collect())
-    assert a2 == p2 and len(a2) == 5
+    assert a2 == p2 and len(a2) == 6
+    assert sum(1 for r in a2 if r[0] == "d5") == 1
 
 
 def test_arrow_and_pandas_summaries_paths_identical(spark):

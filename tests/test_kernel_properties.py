@@ -175,14 +175,18 @@ def test_doc_details_total_and_json_roundtrip(pages):
 # Duplicate offsets are deliberately allowed: sorted(key=offset) is stable,
 # so the columnar lexsort must preserve input order on ties too.
 _explode_spans = st.lists(
-    st.builds(
-        dict,
-        kind=st.sampled_from(["html", "pdf_page", "ocr_region", "text", "media"]),
-        text=st.one_of(st.none(), text_strategy),
-        media_ref=st.one_of(
-            st.none(), st.text(alphabet=string.ascii_lowercase + ":/", max_size=10)
+    st.one_of(
+        st.none(),  # null struct elements are dropped (shared _span_valid)
+        st.builds(
+            dict,
+            kind=st.sampled_from(["html", "pdf_page", "ocr_region", "text", "media"]),
+            text=st.one_of(st.none(), text_strategy),
+            media_ref=st.one_of(
+                st.none(), st.text(alphabet=string.ascii_lowercase + ":/", max_size=10)
+            ),
+            # null offsets are dropped too (malformed: no ordering key)
+            offset=st.one_of(st.none(), st.integers(0, 50)),
         ),
-        offset=st.integers(0, 50),
     ),
     max_size=8,
 )

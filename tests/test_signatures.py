@@ -163,3 +163,42 @@ def test_from_table_plans_are_cache_free_and_cartesian_free(spark, sig_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" not in plan
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ensure_signature_table_replay_with_grown_part_set(spark, tmp_path, monkeypatch):
+    """The harder crash replay: the add-dir for part-001 landed but the
+    manifest did not, and part-002 arrives BEFORE the next invocation. The
+    next call must compute signatures for part-002 ONLY — recomputing
+    part-001 (whose add-dir is already on disk) would duplicate its rows."""
+    import pyarrow.parquet as pq
+
+    import deed_ocr_spark.signatures as sig
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "sigcache"))
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    third = tbl.num_rows // 3
+    corpus = tmp_path / "sf" / "documents.parquet"
+    corpus.mkdir(parents=True)
+    pq.write_table(tbl.slice(0, third), corpus / "part-000.parquet")
+    p = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    m0 = sig._read_manifest(p)
+
+    pq.write_table(tbl.slice(third, third), corpus / "part-001.parquet")
+    sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    # crash: manifest rolled back to pre-append; part-002 lands meanwhile
+    sig._write_manifest(p, m0)
+    pq.write_table(tbl.slice(2 * third), corpus / "part-002.parquet")
+    sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+
+    got = sig.read_signature_table(spark, p)
+    n_docs = got.select("doc_id").distinct().count()
+    assert n_docs == tbl.num_rows
+    # no doc's shingle set duplicated: every (doc_id, sh) pair is unique
+    assert got.count() == got.distinct().count(), "replay duplicated rows"
+
+    # equality vs a from-scratch build on the full corpus
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "scratch"))
+    p3 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in sig.read_signature_table(spark, p3).collect()
+    }
