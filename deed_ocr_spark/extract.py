@@ -261,6 +261,17 @@ def _explode_recordbatch(rb) -> pd.DataFrame | None:
     spans = rb.column(rb.schema.get_field_index("spans"))
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    if len(flat) != len(parent):
+        # Non-canonical list array: a NULL list slot whose offset range is
+        # non-empty (legal Arrow, never produced by Spark's serializer but
+        # reachable when the kernel is run over arbitrary parquet via
+        # streaming/run_job). pyarrow's list_flatten DROPS the null slot's
+        # covered values while list_parent_indices still emits indices for
+        # them, so the flat fields and parent diverge in length and every
+        # downstream mask/lexsort would misalign. The pandas explode
+        # handles null slots by value, so fall back for this batch.
+        out = _explode_batch(rb.to_pandas())
+        return out if len(out) else None
     if len(parent) == 0:
         return None
     kind = flat.field("kind").to_numpy(zero_copy_only=False)

@@ -223,6 +223,80 @@ def test_explode_batch_columnar_matches_scalar(rows):
     )
 
 
+def _span_struct_type():
+    import pyarrow as pa
+
+    return pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+
+
+def test_explode_recordbatch_noncanonical_null_slot_falls_back():
+    """A null list slot with a NON-empty offset range is legal Arrow that
+    Spark's serializer never produces but arbitrary parquet (streaming /
+    run_job inputs) can. pyarrow's list_flatten DROPS the slot's covered
+    values while list_parent_indices still emits indices for them, so the
+    columnar explode must detect the length divergence and fall back to the
+    pandas explode instead of misaligning fields (round-4 ADVICE)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from deed_ocr_spark.extract import _explode_batch, _explode_recordbatch
+
+    values = pa.array(
+        [
+            {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+            {"kind": "text", "text": "hidden", "media_ref": None, "offset": 0},
+            {"kind": "media", "text": None, "media_ref": "m:1", "offset": 2},
+        ],
+        type=_span_struct_type(),
+    )
+    offsets = pa.array([0, 2, 3, 4], type=pa.int32())
+    mask = pa.array([False, True, False])  # null slot covers values[2:3]
+    spans = pa.ListArray.from_arrays(offsets, values, mask=mask)
+    assert len(spans.flatten()) != 4  # the non-canonical premise holds
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(["d1", "d2", "d3"]), spans], names=["doc_id", "spans"]
+    )
+    got = _explode_recordbatch(rb)
+    want = _explode_batch(rb.to_pandas())
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # the null slot's covered value never leaks into the output
+    assert "hidden" not in set(got["in_text"])
+
+
+def test_explode_recordbatch_noncanonical_all_null_returns_none():
+    """Flatten empty but parent non-empty (every slot null, offsets still
+    covering values): the guard must fall back and yield None, not
+    early-return on the misleading parent length."""
+    import pyarrow as pa
+
+    from deed_ocr_spark.extract import _explode_recordbatch
+
+    values = pa.array(
+        [
+            {"kind": "text", "text": "x", "media_ref": None, "offset": 0},
+            {"kind": "text", "text": "y", "media_ref": None, "offset": 1},
+        ],
+        type=_span_struct_type(),
+    )
+    offsets = pa.array([0, 2], type=pa.int32())
+    mask = pa.array([True])
+    spans = pa.ListArray.from_arrays(offsets, values, mask=mask)
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(["d1"]), spans], names=["doc_id", "spans"]
+    )
+    assert _explode_recordbatch(rb) is None
+
+
 # --- batched OCR-region kernel must be byte-identical to the scalar one ------
 _ocr_line = st.builds(
     lambda x1, y1, w, h, text: f"{x1:.1f},{y1:.1f},{x1 + w:.1f},{y1 + h:.1f}|{text}",
