@@ -9,7 +9,24 @@ signature table (at 100 TB it is a small fraction of the corpus width, so
 joins never touch document text again), nothing is recomputed, and no
 executor cache residency is required across jobs. On an Iceberg catalog
 these would be maintained incrementally per snapshot (see state.py's
-commit-protocol notes); here they are plain parquet directories.
+commit-protocol notes); here they are plain parquet directories with the
+catalog's three guarantees modeled explicitly:
+
+* **versioned snapshots** — every full (re)build lands in its own
+  ``v-<gen>-<hash>/`` directory and a ``_CURRENT`` pointer is swapped
+  atomically; readers holding a version dir keep a stable file listing
+  across rebuilds (the previous version is retained until the NEXT
+  rebuild, then garbage-collected);
+* **single maintainer** — maintenance (build / append / rebuild /
+  compaction) runs under an advisory lock file with dead-holder takeover,
+  so two processes racing ``ensure_signature_table`` on one corpus key
+  serialize instead of double-building (the Iceberg analog is the
+  catalog's atomic snapshot CAS);
+* **incremental appends + compaction** — new corpus parts append one
+  ``add-*`` subdirectory of signatures for ONLY the new files; repeated
+  appends are binpacked back into a single consolidated version once they
+  accumulate (the ``rewrite_data_files`` analog, same target-size formula
+  as compact.py).
 
 Reference analog: the reference recomputes per-document work on every run
 and guards it with its retry ledger (utils/retry_helper.py); signature
@@ -19,8 +36,14 @@ tables are the corpus-level equivalent for the dedup family.
 from __future__ import annotations
 
 import hashlib
+import json
+import math
 import os
 import shutil
+import stat as stat_mod
+import time
+from contextlib import contextmanager
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,18 +61,61 @@ MINHASH_SIGS = "minhash_sigs"
 WINNOW_FPS = "winnow_fps"
 
 # Default root for content-keyed signature tables (the registered d7/d13
-# route — see ensure_signature_table). Per-uid so two users on one host
-# never fight over a world-shared /tmp directory; the SPARK_GRAFT_SIG_CACHE
-# env var is consulted at CALL time (not import time), and tests
-# monkeypatch this module attribute directly.
-SIG_CACHE_ROOT = f"/tmp/deed_ocr_signatures-{os.getuid()}"
+# route — see ensure_signature_table). User-private (~/.cache) rather than
+# /tmp: a predictable world-writable /tmp name could be pre-created by
+# another local user, who would then control the signature rows served to
+# d7/d13/d15 (round-4 ADVICE). The SPARK_GRAFT_SIG_CACHE env var is
+# consulted at CALL time (not import time), and tests monkeypatch this
+# module attribute directly. Whatever root is used, _secure_cache_root
+# verifies it is a real directory owned by this uid before trusting it.
+SIG_CACHE_ROOT = os.path.join(
+    os.path.expanduser("~"), ".cache", "deed_ocr_signatures"
+)
+
+# Append accumulation bound: once a version carries this many add-* dirs,
+# ensure_signature_table folds them into a fresh consolidated version.
+SIG_COMPACT_AFTER = 8
+
+# Same default as compact.py's bucketed-output binpack (Iceberg's
+# write.target-file-size). Signature part files are tiny at test scale, so
+# compaction targets a file COUNT of max(1, ceil(bytes/target)).
+SIG_TARGET_FILE_BYTES = 128 << 20
+
+_LOCK_TIMEOUT_S = 300.0
+_LOCK_STALE_S = 3600.0
 
 
 def read_signature_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Scan a signature table, including its incremental add-*
-    subdirectories (recursive listing; underscore-prefixed temp/metadata
-    files are ignored by the reader)."""
+    """Scan a signature table VERSION directory, including its incremental
+    add-* subdirectories (recursive listing; underscore-prefixed
+    temp/metadata files are ignored by the reader)."""
     return spark.read.option("recursiveFileLookup", "true").parquet(table_dir)
+
+
+def _secure_cache_root(path: str) -> str:
+    """Create-or-verify the cache root: a REAL directory (not a symlink)
+    owned by this uid, mode 0700 on creation. A pre-created directory
+    belonging to someone else (or a planted symlink) is rejected instead of
+    silently trusted — on a shared host that directory's contents feed
+    registered queries."""
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.lstat(path)
+    if not stat_mod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"signature cache root {path!r} is not a plain directory owned "
+            f"by uid {os.getuid()} (symlink or pre-created by another "
+            "user); point SPARK_GRAFT_SIG_CACHE at a private location"
+        )
+    return path
+
+
+def family_dir_for(key: str, family: str) -> str:
+    """Family directory under the (verified) cache root, keyed by an
+    arbitrary corpus identity string."""
+    root = _secure_cache_root(
+        os.environ.get("SPARK_GRAFT_SIG_CACHE", SIG_CACHE_ROOT)
+    )
+    return os.path.join(root, hashlib.md5(key.encode()).hexdigest()[:16], family)
 
 
 def _docs_parquet_path(sf_dir: str) -> str:
@@ -60,7 +126,19 @@ def _corpus_listing(sf_dir: str) -> dict:
     """{part_name: "size:mtime_ns"} of the documents parquet — the change
     detector AND the incremental unit. On an Iceberg catalog this would be
     the snapshot's data-file manifest; here the filesystem listing plays
-    that role."""
+    that role.
+
+    Local filesystems only (fail fast on object-store URIs — staleness
+    detection needs os.stat). Caveat: a part rewritten with identical size
+    AND preserved mtime_ns (cp --preserve=timestamps of a same-sized file)
+    is indistinguishable from unchanged; a catalog manifest would carry
+    content hashes instead."""
+    if "://" in sf_dir:
+        raise ValueError(
+            f"signature tables detect staleness via local os.stat listings; "
+            f"non-local corpus path {sf_dir!r} is not supported — run "
+            "materialize_signatures() to an explicit output dir instead"
+        )
     p = _docs_parquet_path(sf_dir)
     if os.path.isdir(p):
         return {
@@ -99,44 +177,165 @@ def _rebalanced(spark: SparkSession, docs: DataFrame, n_files: int) -> DataFrame
     return docs
 
 
-def _manifest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, "_manifest.json")
+# --- advisory maintenance lock ------------------------------------------------
+@contextmanager
+def _maintenance_lock(
+    family_dir: str,
+    timeout: float = _LOCK_TIMEOUT_S,
+    stale_after: float = _LOCK_STALE_S,
+):
+    """Single-maintainer mutual exclusion for one family directory.
 
-
-def _read_manifest(table_dir: str):
-    import json
-
+    O_CREAT|O_EXCL lock file holding {pid, ts}. A contender that finds the
+    lock held by a DEAD pid (same host — os.kill(pid, 0)) or older than
+    ``stale_after`` takes it over via rename (atomic: exactly one of N
+    stale-detectors wins the rename; the rest loop and re-contend). Live
+    holders make contenders wait up to ``timeout``. On a real deployment
+    this is the catalog's atomic commit; the advisory file covers the
+    single-host bench-vs-driver race (round-4 VERDICT #3)."""
+    os.makedirs(family_dir, exist_ok=True)
+    lock = os.path.join(family_dir, "_lock")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o600)
+            try:
+                os.write(
+                    fd,
+                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                )
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            stale = False
+            try:
+                with open(lock) as f:
+                    holder = json.load(f)
+                pid = int(holder.get("pid", -1))
+            except (OSError, ValueError):
+                pid = -1  # torn write or vanished — age check decides
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    stale = True
+                except PermissionError:  # pragma: no cover — other-uid pid
+                    pass
+            try:
+                if time.time() - os.stat(lock).st_mtime > stale_after:
+                    stale = True
+            except FileNotFoundError:
+                continue  # released between open() and stat() — re-contend
+            if stale:
+                grave = f"{lock}.stale-{os.getpid()}"
+                try:
+                    os.rename(lock, grave)  # one winner; losers re-loop
+                except FileNotFoundError:
+                    pass
+                else:
+                    os.unlink(grave)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"maintenance lock {lock} held by live pid {pid} for "
+                    f">{timeout:.0f}s"
+                )
+            time.sleep(0.05)
     try:
-        with open(_manifest_path(table_dir)) as f:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:  # pragma: no cover — stale takeover won
+            pass
+
+
+# --- versioned layout helpers -------------------------------------------------
+def _current_pointer(family_dir: str) -> str:
+    return os.path.join(family_dir, "_CURRENT")
+
+
+def _current_version_dir(family_dir: str) -> Optional[str]:
+    try:
+        with open(_current_pointer(family_dir)) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(family_dir, name)
+    return path if name.startswith("v-") and os.path.isdir(path) else None
+
+
+def _set_current(family_dir: str, version_name: str) -> None:
+    tmp = _current_pointer(family_dir) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(version_name)
+    os.replace(tmp, _current_pointer(family_dir))
+
+
+def _version_names(family_dir: str) -> List[str]:
+    try:
+        names = os.listdir(family_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(n for n in names if n.startswith("v-") and "." not in n)
+
+
+def _next_version_name(family_dir: str, listing: dict) -> str:
+    """Monotonic generation + content hash: the counter makes name
+    collisions impossible even if a later listing hashes identically to a
+    GC'd ancestor's."""
+    gens = [int(n.split("-")[1]) for n in _version_names(family_dir)]
+    token = hashlib.md5(
+        json.dumps(listing, sort_keys=True).encode()
+    ).hexdigest()[:10]
+    return f"v-{(max(gens) + 1 if gens else 1):06d}-{token}"
+
+
+def _gc_versions(family_dir: str) -> None:
+    """Keep the current version plus its immediate predecessor (readers
+    that planned before the swap keep a stable snapshot); drop older."""
+    names = _version_names(family_dir)
+    cur = _current_version_dir(family_dir)
+    cur_name = os.path.basename(cur) if cur else None
+    keep = {cur_name} if cur_name else set()
+    older = [n for n in names if n not in keep]
+    for n in older[:-1]:  # newest non-current survives one more cycle
+        shutil.rmtree(os.path.join(family_dir, n), ignore_errors=True)
+
+
+def _manifest_path(version_dir: str) -> str:
+    return os.path.join(version_dir, "_manifest.json")
+
+
+def _read_manifest(version_dir: str):
+    try:
+        with open(_manifest_path(version_dir)) as f:
             return json.load(f)
     except (OSError, ValueError):
         return None
 
 
-def _write_manifest(table_dir: str, listing: dict) -> None:
-    import json
-
-    tmp = _manifest_path(table_dir) + f".tmp-{os.getpid()}"
+def _write_manifest(version_dir: str, listing: dict) -> None:
+    tmp = _manifest_path(version_dir) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(listing, f, sort_keys=True)
-    os.replace(tmp, _manifest_path(table_dir))
+    os.replace(tmp, _manifest_path(version_dir))
 
 
-def _processed_parts(root: str, manifest: dict) -> dict:
+def _processed_parts(version_dir: str, manifest: dict) -> dict:
     """The parts whose signatures are actually ON DISK: the manifest plus
     every committed add-directory's own part record. An add-dir that landed
     without its manifest update (crash window) is still counted, so a
     replay — even one whose new-part set has since GROWN — never
     recomputes a part that is already present (which would duplicate
     rows)."""
-    import json
-
     parts = dict(manifest or {})
-    for name in os.listdir(root):
+    for name in os.listdir(version_dir):
         if not name.startswith("add-"):
             continue
         try:
-            with open(os.path.join(root, name, "_parts.json")) as f:
+            with open(os.path.join(version_dir, name, "_parts.json")) as f:
                 parts.update(json.load(f))
         except (OSError, ValueError):  # pragma: no cover — torn add dir
             continue
@@ -144,17 +343,187 @@ def _processed_parts(root: str, manifest: dict) -> dict:
 
 
 def _write_parts_record(dir_path: str, parts: dict) -> None:
-    import json
-
     with open(os.path.join(dir_path, "_parts.json"), "w") as f:
         json.dump(parts, f, sort_keys=True)
+
+
+def _add_dir_count(version_dir: str) -> int:
+    return sum(1 for n in os.listdir(version_dir) if n.startswith("add-"))
+
+
+def _parquet_sizes(version_dir: str) -> List[int]:
+    sizes: List[int] = []
+    for dirpath, _dirnames, filenames in os.walk(version_dir):
+        sizes.extend(
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in filenames
+            if f.endswith(".parquet")
+        )
+    return sizes
+
+
+# --- generic maintenance core ---------------------------------------------
+def _write_version(
+    spark: SparkSession,
+    family_dir: str,
+    listing: dict,
+    df: DataFrame,
+) -> str:
+    """Write ``df`` as a fresh version dir, swap _CURRENT to it, GC older
+    versions; returns the new version path. Readers holding the previous
+    version dir keep a stable listing until the NEXT swap."""
+    vname = _next_version_name(family_dir, listing)
+    vdir = os.path.join(family_dir, vname)
+    tmp = os.path.join(family_dir, f"{vname}.tmp-{os.getpid()}")
+    df.write.mode("overwrite").parquet(tmp)
+    _write_manifest(tmp, listing)
+    os.rename(tmp, vdir)
+    _set_current(family_dir, vname)
+    _gc_versions(family_dir)
+    return vdir
+
+
+def ensure_table(
+    spark: SparkSession,
+    family_dir: str,
+    listing: dict,
+    build_df: Callable[[List[str]], DataFrame],
+) -> str:
+    """Generic content-keyed table maintenance; returns the current VERSION
+    directory path. ``listing`` maps part name → fingerprint; ``build_df``
+    must return the table rows for exactly the named parts (per-part work —
+    rows for new parts never depend on old parts, which is what makes the
+    append path sound).
+
+    States (all maintenance serialized under the advisory lock; the
+    current-table fast path is lock-free):
+
+    * manifest == listing → current, return it;
+    * listing adds NEW parts, old parts untouched → APPEND one add-* dir
+      of rows for only the new parts — the 100 TB shape: a day's landed
+      partition costs one pass over that partition;
+    * ≥ SIG_COMPACT_AFTER accumulated add dirs → consolidate into a fresh
+      version (reads the table rows back, never recomputes them);
+    * any old part changed/disappeared → full rebuild into a fresh
+      version, _CURRENT swapped atomically.
+    """
+    cur = _current_version_dir(family_dir)
+    if cur is not None and _read_manifest(cur) == listing:
+        if _add_dir_count(cur) < SIG_COMPACT_AFTER:
+            return cur
+    with _maintenance_lock(family_dir):
+        return _maintain_locked(spark, family_dir, listing, build_df)
+
+
+def _maintain_locked(
+    spark: SparkSession,
+    family_dir: str,
+    listing: dict,
+    build_df: Callable[[List[str]], DataFrame],
+) -> str:
+    cur = _current_version_dir(family_dir)
+    if cur is not None and _read_manifest(cur) == listing:
+        # another maintainer finished the work while we waited on the lock
+        if _add_dir_count(cur) >= SIG_COMPACT_AFTER:
+            return _compact_locked(spark, family_dir, cur)
+        return cur
+
+    if cur is not None:
+        processed = _processed_parts(cur, _read_manifest(cur))
+        if processed == listing:
+            # crash landed the data, only the manifest lags
+            _write_manifest(cur, listing)
+            return cur
+        if set(processed) <= set(listing) and all(
+            listing[k] == v for k, v in processed.items()
+        ):
+            # Append = one atomically-renamed SUBDIRECTORY per new-part set
+            # (readers list the version dir recursively). A plain
+            # mode('append') into the version would double-append after a
+            # crash between the write and the manifest update — duplicate
+            # shingle rows silently corrupt d7's Jaccard sizes. The
+            # processed set is derived from the manifest PLUS every
+            # committed add-dir's own _parts.json, so a replay never
+            # recomputes a part already on disk even if more parts have
+            # landed since the crash.
+            new_items = {k: listing[k] for k in listing if k not in processed}
+            new_parts = sorted(new_items)
+            add_dir = os.path.join(
+                cur,
+                "add-"
+                + hashlib.md5("|".join(new_parts).encode()).hexdigest()[:12],
+            )
+            if not os.path.isdir(add_dir):
+                # underscore prefix: a leaked temp dir is invisible to readers
+                tmp = os.path.join(cur, f"_tmp-{os.getpid()}")
+                build_df(new_parts).write.mode("overwrite").parquet(tmp)
+                _write_parts_record(tmp, new_items)
+                try:
+                    os.rename(tmp, add_dir)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.isdir(add_dir):
+                        # surfacing the failure beats recording the parts as
+                        # processed and silently dropping their signatures
+                        raise
+            _write_manifest(cur, listing)
+            if _add_dir_count(cur) >= SIG_COMPACT_AFTER:
+                return _compact_locked(spark, family_dir, cur)
+            return cur
+
+    # full (re)build into a fresh version
+    return _write_version(
+        spark, family_dir, listing, build_df(sorted(listing))
+    )
+
+
+def _compact_locked(
+    spark: SparkSession,
+    family_dir: str,
+    version_dir: str,
+    target_bytes: int = SIG_TARGET_FILE_BYTES,
+) -> str:
+    """Fold a version's accumulated add-* dirs into one consolidated
+    version: READS the existing rows back (coalesce — narrow, no shuffle,
+    no recompute) binpacked to ceil(bytes/target) files, carries the
+    processed-parts map forward as the new manifest, swaps _CURRENT. The
+    rewrite_data_files analog of compact.py, applied to signature tables."""
+    manifest = _processed_parts(version_dir, _read_manifest(version_dir))
+    sizes = _parquet_sizes(version_dir)
+    target_files = max(1, math.ceil(sum(sizes) / target_bytes))
+    df = read_signature_table(spark, version_dir).coalesce(target_files)
+    return _write_version(spark, family_dir, manifest, df)
+
+
+def compact_signature_table(
+    spark: SparkSession,
+    family_dir: str,
+    target_bytes: int = SIG_TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> str:
+    """Explicit maintenance entry point: consolidate the family's current
+    version if it is over-fragmented (more parquet files than its bytes
+    need, or any accumulated add dirs); no-op otherwise. Returns the
+    current version path either way; idempotent."""
+    with _maintenance_lock(family_dir):
+        cur = _current_version_dir(family_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no current version under {family_dir}")
+        sizes = _parquet_sizes(cur)
+        target_files = max(1, math.ceil(sum(sizes) / target_bytes))
+        if _add_dir_count(cur) == 0 and (
+            len(sizes) < min_files or len(sizes) <= target_files
+        ):
+            return cur
+        return _compact_locked(spark, family_dir, cur, target_bytes)
 
 
 def ensure_signature_table(
     spark: SparkSession, sf_dir: str, family: str
 ) -> str:
     """Materialize one signature family for the corpus at ``sf_dir`` and
-    return its parquet path — with INCREMENTAL maintenance.
+    return its current VERSION directory — with incremental maintenance,
+    versioned rebuilds, and single-maintainer locking (see ensure_table).
 
     This is how the REGISTERED d7/d13 get a deterministic, cache-free plan:
     the first invocation pays one corpus pass and a parquet write (visible,
@@ -164,92 +533,22 @@ def ensure_signature_table(
     no longer swings with session cache warmth or co-tenant memory
     pressure (the round-3 d7/d13 regression).
 
-    Maintenance states, decided by a ``_manifest.json`` (the processed
-    corpus-part listing; Spark/DuckDB readers ignore underscore files):
-
-    * manifest == current listing → table is current, return it;
-    * listing adds NEW parts and every old part is untouched → APPEND
-      signatures of only the new files (per-doc work, so new signatures
-      never depend on old documents) — the 100 TB shape: a day's landed
-      partition costs one pass over that partition, never a corpus
-      rescan;
-    * any old part changed or disappeared → full rebuild into a temp dir
-      swapped into place.
-
-    Like any table-maintenance job, concurrent maintainers are not
-    supported (readers are fine); the manifest write is atomic."""
-    cache_root = os.environ.get("SPARK_GRAFT_SIG_CACHE", SIG_CACHE_ROOT)
-    root = os.path.join(
-        cache_root,
-        hashlib.md5(_docs_parquet_path(sf_dir).encode()).hexdigest()[:16],
-        family,
-    )
-    listing = _corpus_listing(sf_dir)
-    manifest = _read_manifest(root) if os.path.isdir(root) else None
-    if manifest == listing:
-        return root
-
+    Readers must re-resolve through this function across rebuilds: a
+    DataFrame planned against a version dir stays valid until the SECOND
+    rebuild after it (one old version is retained per swap)."""
     docs_path = _docs_parquet_path(sf_dir)
-    processed = _processed_parts(root, manifest) if os.path.isdir(root) else None
-    if processed == listing:  # crash landed the data, only the manifest lags
-        _write_manifest(root, listing)
-        return root
-    if (
-        processed
-        and set(processed) <= set(listing)
-        and all(listing[k] == v for k, v in processed.items())
-    ):
-        # Append = one atomically-renamed SUBDIRECTORY per new-part set
-        # (readers list the table recursively). A plain mode('append')
-        # into the root would double-append after a crash between the
-        # write and the manifest update — duplicate shingle rows silently
-        # corrupt d7's Jaccard sizes. The processed set is derived from
-        # the manifest PLUS every committed add-dir's own _parts.json, so
-        # a replay never recomputes a part already on disk even if more
-        # parts have landed since the crash.
-        new_items = {k: listing[k] for k in listing if k not in processed}
-        new_parts = sorted(new_items)
-        add_dir = os.path.join(
-            root,
-            "add-" + hashlib.md5("|".join(new_parts).encode()).hexdigest()[:12],
-        )
-        if not os.path.isdir(add_dir):
-            paths = [os.path.join(docs_path, n) for n in new_parts]
-            docs = _rebalanced(spark, spark.read.parquet(*paths), len(paths))
-            # underscore prefix: a leaked temp dir is invisible to readers
-            tmp = os.path.join(root, f"_tmp-{os.getpid()}")
-            _family_df_of(docs, family).write.mode("overwrite").parquet(tmp)
-            _write_parts_record(tmp, new_items)
-            try:
-                os.rename(tmp, add_dir)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-                if not os.path.isdir(add_dir):
-                    # not the benign concurrent-append race: surfacing the
-                    # failure beats recording the parts as processed and
-                    # silently dropping their signatures forever
-                    raise
-        _write_manifest(root, listing)
-        return root
+    listing = _corpus_listing(sf_dir)
+    family_dir = family_dir_for(docs_path, family)
 
-    # full (re)build
-    tmp = f"{root}.tmp-{os.getpid()}"
-    docs = _rebalanced(
-        spark, spark.read.parquet(docs_path), len(listing)
-    )
-    _family_df_of(docs, family).write.mode("overwrite").parquet(tmp)
-    _write_manifest(tmp, listing)
-    old = None
-    if os.path.isdir(root):
-        old = f"{root}.old-{os.getpid()}"
-        os.rename(root, old)
-    try:
-        os.rename(tmp, root)
-    except OSError:  # a concurrent builder won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    if old:
-        shutil.rmtree(old, ignore_errors=True)
-    return root
+    def build(parts: List[str]) -> DataFrame:
+        if os.path.isdir(docs_path):
+            paths = [os.path.join(docs_path, n) for n in parts]
+        else:
+            paths = [docs_path]
+        docs = _rebalanced(spark, spark.read.parquet(*paths), len(paths))
+        return _family_df_of(docs, family)
+
+    return ensure_table(spark, family_dir, listing, build)
 
 
 def materialize_signatures(

@@ -1,0 +1,260 @@
+"""Round-5 signature-table maintenance guarantees: secure cache root,
+local-corpus fail-fast, advisory single-maintainer lock (dead-holder
+takeover, live-holder wait, cross-process exclusion), add-dir compaction,
+and the durable media family behind the registered m1."""
+
+import json
+import os
+import shutil
+import threading
+
+import pytest
+
+import deed_ocr_spark.signatures as sig
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- secure cache root --------------------------------------------------------
+def test_secure_cache_root_rejects_symlink(tmp_path):
+    """A planted symlink at the cache-root path must not be trusted: whoever
+    controls the target controls the signature rows served to d7/d13."""
+    target = tmp_path / "elsewhere"
+    target.mkdir()
+    link = tmp_path / "root-link"
+    os.symlink(target, link)
+    with pytest.raises(RuntimeError, match="not a plain directory"):
+        sig._secure_cache_root(str(link))
+
+
+def test_secure_cache_root_creates_private_dir(tmp_path):
+    root = tmp_path / "fresh" / "cache"
+    assert sig._secure_cache_root(str(root)) == str(root)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    assert os.stat(root).st_uid == os.getuid()
+
+
+# --- local-filesystem fail-fast ----------------------------------------------
+def test_corpus_listing_rejects_object_store_paths():
+    """Staleness detection is os.stat-based; an s3a:// corpus must fail
+    with a clear message, not a FileNotFoundError deep inside d7."""
+    with pytest.raises(ValueError, match="non-local corpus path"):
+        sig._corpus_listing("s3a://bucket/sf0.01")
+    with pytest.raises(ValueError, match="non-local corpus path"):
+        sig.ensure_signature_table(None, "hdfs://nn/sf0.01", sig.SHINGLES)
+
+
+# --- advisory maintenance lock -------------------------------------------------
+def test_lock_dead_holder_is_taken_over(tmp_path):
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    # a pid that cannot exist on Linux (> kernel.pid_max ceiling of 2^22)
+    with open(os.path.join(fam, "_lock"), "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": 0.0}, f)
+    with sig._maintenance_lock(fam, timeout=5.0):
+        with open(os.path.join(fam, "_lock")) as f:
+            assert json.load(f)["pid"] == os.getpid()
+    assert not os.path.exists(os.path.join(fam, "_lock"))
+
+
+def test_lock_live_holder_makes_contender_wait_then_timeout(tmp_path):
+    fam = str(tmp_path / "fam")
+    with sig._maintenance_lock(fam):
+        with pytest.raises(TimeoutError):
+            with sig._maintenance_lock(fam, timeout=0.3):
+                pass  # pragma: no cover
+
+
+def _lock_worker(fam: str, log_path: str, n_iters: int):
+    import deed_ocr_spark.signatures as s
+
+    for _ in range(n_iters):
+        with s._maintenance_lock(fam, timeout=60.0):
+            # the critical section: read-modify-write a shared counter; any
+            # mutual-exclusion violation loses increments
+            try:
+                with open(log_path) as f:
+                    v = int(f.read())
+            except OSError:
+                v = 0
+            with open(log_path + ".tmp", "w") as f:
+                f.write(str(v + 1))
+            os.replace(log_path + ".tmp", log_path)
+
+
+def test_lock_excludes_across_processes(tmp_path):
+    import multiprocessing as mp
+
+    fam = str(tmp_path / "fam")
+    log = str(tmp_path / "counter")
+    ctx = mp.get_context("fork")
+    procs = [
+        ctx.Process(target=_lock_worker, args=(fam, log, 25)) for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    with open(log) as f:
+        assert int(f.read()) == 4 * 25, "lost update ⇒ lock failed to exclude"
+
+
+def test_concurrent_ensure_builds_exactly_one_version(spark, tmp_path, monkeypatch):
+    """bench + driver racing ensure_signature_table on one corpus key must
+    serialize: every caller gets the same version dir, the table holds no
+    duplicate rows, and exactly one version exists."""
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
+
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(
+                sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors and len(set(results)) == 1
+    fam_dir = os.path.dirname(results[0])
+    assert len(sig._version_names(fam_dir)) == 1
+    tbl = sig.read_signature_table(spark, results[0])
+    assert tbl.count() == tbl.distinct().count()
+
+
+# --- add-dir compaction --------------------------------------------------------
+def _chunked_corpus(tmp_path, n_parts: int):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet")
+    step = tbl.num_rows // n_parts
+    corpus = tmp_path / "sf" / "documents.parquet"
+    corpus.mkdir(parents=True)
+    slices = []
+    for i in range(n_parts):
+        hi = tbl.num_rows if i == n_parts - 1 else (i + 1) * step
+        slices.append((f"part-{i:03d}.parquet", tbl.slice(i * step, hi - i * step)))
+    return corpus, slices
+
+
+def test_compaction_folds_add_dirs_row_identically(spark, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus, slices = _chunked_corpus(tmp_path, 4)
+    name, data = slices[0]
+    pq.write_table(data, corpus / name)
+    p = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    for name, data in slices[1:]:  # three appends → three add dirs
+        pq.write_table(data, corpus / name)
+        assert sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES) == p
+    assert sig._add_dir_count(p) == 3
+    before = {tuple(r) for r in sig.read_signature_table(spark, p).collect()}
+    manifest_parts = sig._processed_parts(p, sig._read_manifest(p))
+
+    fam_dir = os.path.dirname(p)
+    p2 = sig.compact_signature_table(spark, fam_dir)
+    assert p2 != p
+    assert sig._add_dir_count(p2) == 0
+    assert len(sig._parquet_sizes(p2)) <= 1, "tiny table binpacks to one file"
+    assert sig._read_manifest(p2) == manifest_parts, "processed parts carried over"
+    assert {tuple(r) for r in sig.read_signature_table(spark, p2).collect()} == before
+    # idempotent: a second compaction is a no-op
+    assert sig.compact_signature_table(spark, fam_dir) == p2
+    # and the maintained table is still judged current (no rebuild)
+    assert sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES) == p2
+
+
+def test_auto_compaction_after_accumulated_appends(spark, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(sig, "SIG_COMPACT_AFTER", 2)
+    corpus, slices = _chunked_corpus(tmp_path, 3)
+    name, data = slices[0]
+    pq.write_table(data, corpus / name)
+    p = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    pq.write_table(slices[1][1], corpus / slices[1][0])
+    assert sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES) == p
+    pq.write_table(slices[2][1], corpus / slices[2][0])
+    p2 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    assert p2 != p and sig._add_dir_count(p2) == 0
+    # equality vs a from-scratch build over the combined corpus
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "scratch"))
+    p3 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    assert {tuple(r) for r in sig.read_signature_table(spark, p2).collect()} == {
+        tuple(r) for r in sig.read_signature_table(spark, p3).collect()
+    }
+
+
+# --- durable media family (m1's table) -----------------------------------------
+def test_media_table_matches_inline_pipeline(spark, tmp_path, monkeypatch):
+    from deed_ocr_spark.corpus import corpus_df
+    from deed_ocr_spark.job import extract_spans
+    from deed_ocr_spark.multimodal import ensure_media_table, synth_media_table
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    p = ensure_media_table(spark, 150, seed=42)
+    got = {
+        tuple(r)
+        for r in sig.read_signature_table(spark, p)
+        .select("doc_id", "media_ref", "media_kind", "payload")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in synth_media_table(extract_spans(corpus_df(spark, 150, seed=42)))
+        .select("doc_id", "media_ref", "media_kind", "payload")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_media_table_chunk_growth_appends(spark, tmp_path, monkeypatch):
+    """Corpus growth by whole chunks is per-doc work ⇒ an APPEND: old media
+    parquet untouched, result equal to a from-scratch build."""
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 50)
+    p = mm.ensure_media_table(spark, 100, seed=7)
+    old_files = {
+        f: os.path.getmtime(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    }
+    p2 = mm.ensure_media_table(spark, 200, seed=7)
+    assert p2 == p, "chunk-aligned growth appends into the same version"
+    for f, mt in old_files.items():
+        assert os.path.getmtime(os.path.join(p, f)) == mt, f
+    got = {tuple(r) for r in sig.read_signature_table(spark, p2).drop("meta").collect()}
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "scratch"))
+    p3 = mm.ensure_media_table(spark, 200, seed=7)
+    want = {tuple(r) for r in sig.read_signature_table(spark, p3).drop("meta").collect()}
+    assert got == want and got
+
+
+def test_media_table_tail_growth_rebuilds(spark, tmp_path, monkeypatch):
+    """Growth that splits the tail chunk changes an existing part's
+    fingerprint ⇒ full rebuild into a new version (correctness over
+    cleverness: a partial chunk is never extended in place)."""
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 80)
+    p = mm.ensure_media_table(spark, 40, seed=7)  # tail-0-40
+    p2 = mm.ensure_media_table(spark, 120, seed=7)  # chunk-000000 + tail-80-120
+    assert p2 != p
+    n_docs = (
+        sig.read_signature_table(spark, p2).select("doc_id").distinct().count()
+    )
+    assert n_docs > 0

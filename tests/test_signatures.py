@@ -52,8 +52,9 @@ def test_winnow_pairs_match_in_session(spark, sig_dir):
 def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, monkeypatch):
     """The registered-query route: first call materializes, second call
     reuses the table without rewriting; touching an existing corpus part
-    (changed mtime) triggers a full rebuild — stale tables are never
-    read."""
+    (changed mtime) triggers a full rebuild into a NEW version directory —
+    stale tables are never read, and a reader holding the old version keeps
+    a stable snapshot until the next rebuild GCs it."""
     import os
     import shutil
 
@@ -67,17 +68,26 @@ def test_ensure_signature_table_caches_and_detects_staleness(spark, tmp_path, mo
 
     p1 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
     n1 = sig.read_signature_table(spark, p1).count()
-    m1 = sig._read_manifest(p1)
     parts1 = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
     assert sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES) == p1
     parts_again = {f: os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1)}
     assert parts_again == parts1, "unchanged corpus must not rewrite anything"
 
+    old_reader = sig.read_signature_table(spark, p1)  # planned pre-rebuild
     os.utime(corpus / "documents.parquet")  # simulate regenerated data
     p2 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
-    assert p2 == p1, "table lives at the corpus-keyed path"
-    assert sig._read_manifest(p2) != m1, "manifest must track the new listing"
+    assert p2 != p1, "rebuild lands in a fresh version directory"
+    assert os.path.dirname(p2) == os.path.dirname(p1)
+    assert sig._read_manifest(p2) == sig._corpus_listing(str(corpus))
     assert sig.read_signature_table(spark, p2).count() == n1
+    # versioned swap: the pre-rebuild reader still scans its snapshot
+    assert old_reader.count() == n1
+    # second rebuild GCs the oldest version; the pointer tracks the newest
+    os.utime(corpus / "documents.parquet")
+    p3 = sig.ensure_signature_table(spark, str(corpus), sig.SHINGLES)
+    assert p3 not in (p1, p2)
+    assert not os.path.isdir(p1), "versions two rebuilds back are GC'd"
+    assert os.path.isdir(p2), "the immediate predecessor survives one cycle"
 
 
 def test_ensure_signature_table_incremental_append(spark, tmp_path, monkeypatch):
