@@ -285,6 +285,17 @@ def corpus_df(spark, n_docs: int, seed: int = 42, n_partitions: int = 0):
     No driver-side materialization — each task generates its own id range,
     so this scales to arbitrarily large corpora (the 10^12-doc story).
     """
+    return corpus_range_df(spark, 0, n_docs, seed, n_partitions)
+
+
+def corpus_range_df(
+    spark, start: int, end: int, seed: int = 42, n_partitions: int = 0
+):
+    """Corpus slice for doc indices [start, end): content is a pure function
+    of (seed, doc_id), so any contiguous range regenerates exactly the same
+    documents the full corpus holds at those indices — the property that
+    makes per-chunk incremental maintenance of derived tables sound
+    (multimodal.ensure_media_table)."""
     if n_partitions <= 0:
         n_partitions = max(spark.sparkContext.defaultParallelism, 1)
 
@@ -293,4 +304,6 @@ def corpus_df(spark, n_docs: int, seed: int = 42, n_partitions: int = 0):
             if len(b):
                 yield gen_docs_pandas(b["id"].to_numpy(), seed)
 
-    return spark.range(0, n_docs, 1, n_partitions).mapInPandas(gen_batches, SPANS_DDL)
+    return spark.range(start, end, 1, n_partitions).mapInPandas(
+        gen_batches, SPANS_DDL
+    )

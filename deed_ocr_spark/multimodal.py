@@ -46,6 +46,71 @@ def _crc(s: pd.Series) -> pd.Series:
     return s.map(lambda r: zlib.crc32(str(r).encode("utf-8")))
 
 
+# --- durable media table (signature-table machinery) --------------------------
+# Bumped whenever synth_media_table / the extraction that feeds it changes
+# meaning — part fingerprints include it, so stale tables rebuild.
+MEDIA_FAMILY_REV = 1
+# Incremental unit: one corpus chunk of this many documents. Growth by
+# whole chunks appends (per-doc work, new chunks never depend on old docs);
+# growth that splits the tail chunk rebuilds.
+MEDIA_CHUNK_DOCS = 1000
+
+
+def _media_listing(n_docs: int, seed: int) -> dict:
+    from deed_ocr_spark.corpus import CORPUS_VERSION
+
+    stamp = f"{seed}:{CORPUS_VERSION}:{MEDIA_FAMILY_REV}"
+    parts = {}
+    for i in range(n_docs // MEDIA_CHUNK_DOCS):
+        a, b = i * MEDIA_CHUNK_DOCS, (i + 1) * MEDIA_CHUNK_DOCS
+        parts[f"chunk-{i:06d}"] = f"{a}:{b}:{stamp}"
+    if n_docs % MEDIA_CHUNK_DOCS:
+        a = (n_docs // MEDIA_CHUNK_DOCS) * MEDIA_CHUNK_DOCS
+        parts[f"tail-{a}-{n_docs}"] = f"{a}:{n_docs}:{stamp}"
+    return parts
+
+
+def _media_part_range(name: str) -> tuple[int, int]:
+    if name.startswith("chunk-"):
+        i = int(name.split("-", 1)[1])
+        return i * MEDIA_CHUNK_DOCS, (i + 1) * MEDIA_CHUNK_DOCS
+    _tag, a, b = name.split("-")
+    return int(a), int(b)
+
+
+def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
+    """Materialize the media table (media_ref → payload + typed meta) as a
+    durable content-keyed parquet table and return its current version dir.
+
+    In production the media table IS its own table — the analog of the
+    reference's saved page images (utils/pdf_converter.py:128-155) as a
+    durable artifact — so registered consumers (m1) scan it rather than
+    persisting a derived frame in the session cache (the pattern class
+    behind the round-3 d7 swing). Maintenance rides the same versioned /
+    locked / incremental machinery as the dedup signature families: media
+    rows are strictly per-document, so a corpus that grows by whole chunks
+    appends only the new chunks' rows."""
+    from functools import reduce
+
+    from deed_ocr_spark.corpus import corpus_range_df
+    from deed_ocr_spark.job import extract_spans
+    from deed_ocr_spark.signatures import ensure_table, family_dir_for
+
+    family_dir = family_dir_for(f"synthetic-media:{seed}", "media")
+    listing = _media_listing(n_docs, seed)
+
+    def build(parts) -> DataFrame:
+        frames = [
+            synth_media_table(
+                extract_spans(corpus_range_df(spark, a, b, seed))
+            )
+            for a, b in sorted(_media_part_range(p) for p in parts)
+        ]
+        return reduce(DataFrame.unionByName, frames)
+
+    return ensure_table(spark, family_dir, listing, build)
+
+
 def synth_media_table(spans_out: DataFrame) -> DataFrame:
     """Build a media table from extraction output: every media_ref span
     becomes a row with a deterministic fake binary payload + typed meta.

@@ -156,13 +156,22 @@ def m3_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_bytes) and unioned. All three kernels still run end-to-end every round;
 # the per-stage functions above keep their own pytest coverage.
 def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deed_ocr_spark.multimodal import decode_media, resize_images, sample_frames
-    from deed_ocr_spark.queries.textpipe import _persisted
+    from deed_ocr_spark.multimodal import (
+        decode_media,
+        ensure_media_table,
+        resize_images,
+        sample_frames,
+    )
+    from deed_ocr_spark.signatures import read_signature_table
 
-    # one media table feeds all three kernels: persist it (keyed, one copy
-    # per session) so the corpus extraction runs once, not three times —
-    # in production the media table IS its own table and this is a scan
-    media = _persisted(spark, ("media", sf_dir), lambda: _media_table(spark, sf_dir))
+    # One media table feeds all three kernels. In production the media
+    # table IS its own durable table (the reference's saved page images,
+    # utils/pdf_converter.py:128-155), so each stage SCANS it — no session
+    # cache, no per-stage corpus re-extraction (plan-locked in
+    # tests/test_plans.py).
+    media = read_signature_table(
+        spark, ensure_media_table(spark, _corpus_size(sf_dir), CORPUS_SEED)
+    )
     dec = decode_media(media).select(
         F.lit("decode").alias("stage"),
         "doc_id",

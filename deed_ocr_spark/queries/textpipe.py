@@ -13,8 +13,6 @@ are map-side only; candidate-pair generation joins on band buckets
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from deed_ocr_spark.queries.common import t
@@ -44,28 +42,13 @@ def _docs_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
-# Per-session persisted-subtree registry (keyed on application + sf_dir so
-# repeated invocations reuse ONE cached copy; an entry dropped by
-# clearCache()/unpersist() is rebuilt). Used by queries whose reused
-# subtree is cheap to rebuild but worth keeping warm within a session
-# (m1's media table). The dedup signatures (d7/d13) no longer use it —
-# their reused subtrees are materialized as content-keyed parquet tables
-# (signatures.ensure_signature_table), because a MEMORY_AND_DISK persist
-# made their cost swing ~4x with session cache warmth and co-tenant memory
-# pressure (round-3 bench artifact).
-_PERSIST_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _persisted(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
-    from pyspark import StorageLevel
-
-    full_key = (spark.sparkContext.applicationId, *key)
-    df = _PERSIST_CACHE.get(full_key)
-    # re-persist if the entry was dropped by clearCache()/unpersist()
-    if df is None or df.storageLevel == StorageLevel.NONE:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSIST_CACHE[full_key] = df
-    return df
+# NOTE: no registered query leans on session-cache persistence anymore.
+# Reused subtrees are materialized as content-keyed parquet tables
+# (signatures.ensure_signature_table; multimodal.ensure_media_table for
+# m1's media table), because a MEMORY_AND_DISK persist made their cost
+# swing ~4x with session cache warmth and co-tenant memory pressure
+# (round-3 bench artifact). Single-query-tree reuse (e7's candidate
+# frames) persists within the query's own scope only.
 
 
 # --- D1: exact dedup (hash groupBy; at 100 TB this is the one full shuffle,

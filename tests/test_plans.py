@@ -83,6 +83,21 @@ def test_d13_plan_scans_signature_table_not_corpus(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_m1_plan_scans_media_table_not_corpus(spark):
+    """The registered m1 routes through the durable media table
+    (multimodal.ensure_media_table): its plan must scan media parquet —
+    never re-extract the corpus (no Range source, no extraction kernel)
+    and never lean on session-cache residency (no InMemoryTableScan —
+    the pattern class behind the round-3 d7 swing)."""
+    from deed_ocr_spark.queries.extraction import m1_multimodal_pipeline
+
+    plan = _plan(m1_multimodal_pipeline(spark, "/root/testdata/sf0.001"))
+    assert "media" in plan
+    assert "InMemoryTableScan" not in plan
+    assert "Range" not in plan, "m1 must not regenerate/re-extract the corpus"
+    assert "MapInArrow" not in plan, "extraction kernel must not run inside m1"
+
+
 def test_x4_details_plan_stays_zero_exchange(spark):
     """The product query (structured details record) must keep the fused
     extraction shape: scan → MapInPandas → project, no shuffle anywhere."""
