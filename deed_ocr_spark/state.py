@@ -43,6 +43,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from deed_ocr_spark import __version__
+from deed_ocr_spark.extract import SPANS_OUT_DDL
 from deed_ocr_spark.job import (
     extract_spans,
     partition_metrics,
@@ -117,6 +118,38 @@ def _check_n_buckets(state: DataFrame, state_dir: str, n_buckets: int) -> None:
         )
 
 
+def _read_written_buckets(
+    spark: SparkSession, out_dir: str, pending_ids: list
+) -> DataFrame:
+    """Scan exactly this run's output buckets for the metrics re-read.
+
+    The naive ``read.parquet(out_dir).filter(isin(pending))`` is row-correct
+    but LISTS the entire output table to build its file index before the
+    partition filter prunes — O(total buckets) driver-side listing on every
+    resume. Passing the pending bucket directories explicitly (with
+    ``basePath`` so ``part_bucket`` stays a partition column) keeps the
+    listing O(this run's buckets): resuming 3 buckets of 100 000 lists 3
+    directories. Buckets that held no documents produce no directory —
+    they are skipped here and get their ledger row via the left join +
+    fillna(0) in the caller. Object-store URIs fall back to the full
+    listing (dir existence is probed with os.path; an Iceberg catalog
+    would make this a snapshot read instead)."""
+    if "://" not in out_dir:
+        dirs = [
+            d
+            for b in pending_ids
+            if os.path.isdir(d := os.path.join(out_dir, f"part_bucket={b}"))
+        ]
+        if not dirs:
+            return spark.createDataFrame(
+                [], SPANS_OUT_DDL + ", part_bucket int"
+            )
+        return spark.read.option("basePath", out_dir).parquet(*dirs)
+    return spark.read.parquet(out_dir).filter(
+        F.col("part_bucket").isin(pending_ids)
+    )
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_df: DataFrame,
@@ -177,17 +210,18 @@ def run_extraction_job(
     spans_out = with_partition_bucket(extract_spans(pending), n_buckets)
 
     # 1) data commit: dynamic overwrite replaces exactly the re-run buckets
+    t_write0 = time.time()
     spans_out.write.mode("overwrite").partitionBy("part_bucket").parquet(out_dir)
+    t_write = time.time() - t_write0
 
     # 2) state commit (after data): per-bucket metrics ledger. The re-read
+    t_ledger0 = time.time()
     # is partition-PRUNED to the buckets this run wrote (at 100 TB a full
     # output re-scan here would dwarf the job; a pruned one is O(this run's
     # output) — df.observe() can't replace it because the ledger needs
     # per-bucket metrics, not global ones); buckets that held no documents
     # still get a done row so resume never re-schedules them.
-    written = spark.read.parquet(out_dir).filter(
-        F.col("part_bucket").isin(pending_ids)
-    )
+    written = _read_written_buckets(spark, out_dir, pending_ids)
     attempts_df = spark.createDataFrame(
         [(b, attempt_of[b]) for b in pending_ids], "part_bucket int, attempts int"
     )
@@ -227,7 +261,13 @@ def run_extraction_job(
     )
     metrics.select(*_STATE_COLUMNS).write.mode("append").parquet(state_dir)
 
-    return _job_counters(spark, state_dir)
+    # Per-phase wall times, surfaced for ops/scaling analysis: phase 1 is
+    # the single data job (scan/generate → exchange → kernel → partitioned
+    # write + its commit), phase 2 the metrics re-read + ledger append.
+    counters = _job_counters(spark, state_dir)
+    counters["wall_write_sec"] = round(t_write, 2)
+    counters["wall_ledger_sec"] = round(time.time() - t_ledger0, 2)
+    return counters
 
 
 def _job_counters(spark: SparkSession, state_dir: str) -> dict:

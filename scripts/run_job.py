@@ -153,11 +153,17 @@ def main(argv=None):
     )
     dt = time.time() - t0
     docs = stats["docs"] or 0
+    phases = ""
+    if "wall_write_sec" in stats:
+        phases = (
+            f" write_sec={stats['wall_write_sec']} "
+            f"ledger_sec={stats['wall_ledger_sec']}"
+        )
     print(
         f"EXTRACT_DONE run_id={args.run_id} buckets={stats['buckets_done']} "
         f"failed={stats['buckets_failed']} retrying={stats['buckets_retrying']} "
         f"docs={docs} spans={stats['spans']} wall_sec={dt:.2f} "
-        f"docs_per_sec={docs / dt:.1f}"
+        f"docs_per_sec={docs / dt:.1f}{phases}"
     )
     if args.compact:
         from deed_ocr_spark.compact import compact_output
