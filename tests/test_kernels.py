@@ -9,6 +9,8 @@ import re
 
 import pandas as pd
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 
 from deed_ocr_spark.kernels.html import strip_html_boilerplate
 from deed_ocr_spark.kernels.legal import (
@@ -107,6 +109,19 @@ def test_clean_watermarks_series_matches_scalar():
     s = pd.Series(WM_CASES, dtype="object")
     out = clean_watermarks_series(s)
     assert out.tolist() == [clean_watermarks(t) for t in WM_CASES]
+
+
+@given(
+    st.text(
+        alphabet=" \t\n\rabUNOFICALPY", max_size=120
+    )
+)
+def test_clean_watermarks_parity_fuzz(text):
+    """Property form of the parity test, biased toward whitespace runs and
+    watermark fragments — locks the production pattern (two-space-prefixed
+    space collapse, newline guards) to the reference's literal
+    re.sub(r' +', ' ') form byte-for-byte."""
+    assert clean_watermarks(text) == _reference_clean(text)
 
 
 # --- ordered dedup: workflow.py:600-616 semantics ---
