@@ -78,6 +78,22 @@ def _media_part_range(name: str) -> tuple[int, int]:
     return int(a), int(b)
 
 
+def _existing_media_docs(family_dir: str) -> int:
+    """Highest doc index (exclusive) already covered by the family's
+    current version — 0 when the table does not exist yet."""
+    from deed_ocr_spark.signatures import (
+        _current_version_dir,
+        _processed_parts,
+        _read_manifest,
+    )
+
+    cur = _current_version_dir(family_dir)
+    if cur is None:
+        return 0
+    parts = _processed_parts(cur, _read_manifest(cur))
+    return max((_media_part_range(p)[1] for p in parts), default=0)
+
+
 def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
     """Materialize the media table (media_ref → payload + typed meta) as a
     durable content-keyed parquet table and return its current version dir.
@@ -89,7 +105,16 @@ def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
     behind the round-3 d7 swing). Maintenance rides the same versioned /
     locked / incremental machinery as the dedup signature families: media
     rows are strictly per-document, so a corpus that grows by whole chunks
-    appends only the new chunks' rows."""
+    appends only the new chunks' rows.
+
+    ONE family per seed serves every corpus size as a SUPERSET table:
+    the maintained listing covers ``max(n_docs, docs already on disk)``,
+    so a smaller tier asking after a larger one (driver at sf0.001 after
+    bench at sf0.1) returns the existing table untouched instead of
+    thrashing full rebuilds, and a larger ask appends the new chunks.
+    Callers wanting exactly ``n_docs`` documents filter with
+    ``media_docs_filter`` — doc ids are zero-padded, so the range
+    predicate is a pushdown-friendly string comparison."""
     from functools import reduce
 
     from deed_ocr_spark.corpus import corpus_range_df
@@ -97,7 +122,7 @@ def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
     from deed_ocr_spark.signatures import ensure_table, family_dir_for
 
     family_dir = family_dir_for(f"synthetic-media:{seed}", "media")
-    listing = _media_listing(n_docs, seed)
+    listing = _media_listing(max(n_docs, _existing_media_docs(family_dir)), seed)
 
     def build(parts) -> DataFrame:
         frames = [
@@ -109,6 +134,15 @@ def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
         return reduce(DataFrame.unionByName, frames)
 
     return ensure_table(spark, family_dir, listing, build)
+
+
+def media_docs_filter(media: DataFrame, n_docs: int) -> DataFrame:
+    """Restrict a (possibly superset) media table to the first ``n_docs``
+    documents. ``doc_id_for`` zero-pads, so lexicographic < is numeric <
+    and the predicate pushes down to the parquet scan."""
+    from deed_ocr_spark.corpus import doc_id_for
+
+    return media.filter(F.col("doc_id") < doc_id_for(n_docs))
 
 
 def synth_media_table(spans_out: DataFrame) -> DataFrame:

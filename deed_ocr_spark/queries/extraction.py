@@ -159,6 +159,7 @@ def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deed_ocr_spark.multimodal import (
         decode_media,
         ensure_media_table,
+        media_docs_filter,
         resize_images,
         sample_frames,
     )
@@ -168,9 +169,15 @@ def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table IS its own durable table (the reference's saved page images,
     # utils/pdf_converter.py:128-155), so each stage SCANS it — no session
     # cache, no per-stage corpus re-extraction (plan-locked in
-    # tests/test_plans.py).
-    media = read_signature_table(
-        spark, ensure_media_table(spark, _corpus_size(sf_dir), CORPUS_SEED)
+    # tests/test_plans.py). The family is a per-seed SUPERSET table shared
+    # across sf tiers; the doc-range filter (pushed to the scan) selects
+    # this tier's documents.
+    n_docs = _corpus_size(sf_dir)
+    media = media_docs_filter(
+        read_signature_table(
+            spark, ensure_media_table(spark, n_docs, CORPUS_SEED)
+        ),
+        n_docs,
     )
     dec = decode_media(media).select(
         F.lit("decode").alias("stage"),

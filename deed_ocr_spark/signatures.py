@@ -1,9 +1,10 @@
 """Signature materialization — the production form of the dedup pipeline.
 
-Inside one composed query, reused subtrees (shingle rows, MinHash
-signatures, winnowing fingerprints) are persisted in the session cache
-(queries/textpipe.py::_persisted). A multi-QUERY curation pipeline instead
-computes them once and writes them as their own tables: every downstream
+Rather than recomputing reused subtrees (shingle rows, MinHash
+signatures, winnowing fingerprints) inside every composed query — or
+leaning on session-cache persistence, whose executor residency swings
+with memory pressure — the curation pipeline computes them once and
+writes them as their own tables: every downstream
 near-dup / candidate-pair / keep-list query then scans the narrow
 signature table (at 100 TB it is a small fraction of the corpus width, so
 joins never touch document text again), nothing is recomputed, and no
@@ -43,7 +44,7 @@ import shutil
 import stat as stat_mod
 import time
 from contextlib import contextmanager
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -186,13 +187,20 @@ def _maintenance_lock(
 ):
     """Single-maintainer mutual exclusion for one family directory.
 
-    O_CREAT|O_EXCL lock file holding {pid, ts}. A contender that finds the
-    lock held by a DEAD pid (same host — os.kill(pid, 0)) or older than
-    ``stale_after`` takes it over via rename (atomic: exactly one of N
-    stale-detectors wins the rename; the rest loop and re-contend). Live
-    holders make contenders wait up to ``timeout``. On a real deployment
-    this is the catalog's atomic commit; the advisory file covers the
-    single-host bench-vs-driver race (round-4 VERDICT #3)."""
+    O_CREAT|O_EXCL lock file holding {pid, ts}. A contender takes over a
+    lock via rename (atomic: exactly one of N stale-detectors wins; the
+    rest loop and re-contend) ONLY when the holder is provably gone: its
+    pid is dead (same host — os.kill(pid, 0)), or the holder pid cannot
+    be determined at all (torn write) AND the file is older than
+    ``stale_after``. A lock whose pid answers kill(0) — including
+    EPERM from another uid — is LIVE regardless of age: long rebuilds
+    (the 100 TB shape) must not have their lock stolen mid-flight, so
+    contenders wait up to ``timeout`` and then raise. Release deletes
+    the lock only if it still records this pid, so a holder that WAS
+    legitimately superseded (crash replay, clock skew) cannot unlink a
+    successor's lock. On a real deployment this is the catalog's atomic
+    commit; the advisory file covers the single-host bench-vs-driver
+    race (round-4 VERDICT #3)."""
     os.makedirs(family_dir, exist_ok=True)
     lock = os.path.join(family_dir, "_lock")
     deadline = time.monotonic() + timeout
@@ -221,12 +229,14 @@ def _maintenance_lock(
                 except ProcessLookupError:
                     stale = True
                 except PermissionError:  # pragma: no cover — other-uid pid
-                    pass
-            try:
-                if time.time() - os.stat(lock).st_mtime > stale_after:
-                    stale = True
-            except FileNotFoundError:
-                continue  # released between open() and stat() — re-contend
+                    pass  # exists → live; never age-steal a live holder
+            else:
+                # holder unknown (torn write): age decides
+                try:
+                    if time.time() - os.stat(lock).st_mtime > stale_after:
+                        stale = True
+                except FileNotFoundError:
+                    continue  # released between open() and stat() — re-contend
             if stale:
                 grave = f"{lock}.stale-{os.getpid()}"
                 try:
@@ -245,10 +255,18 @@ def _maintenance_lock(
     try:
         yield
     finally:
+        # release ONLY our own lock: if a takeover superseded us, the file
+        # now records the successor's pid and must survive
         try:
-            os.unlink(lock)
-        except FileNotFoundError:  # pragma: no cover — stale takeover won
-            pass
+            with open(lock) as f:
+                mine = int(json.load(f).get("pid", -1)) == os.getpid()
+        except (OSError, ValueError):  # pragma: no cover — vanished/torn
+            mine = False
+        if mine:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:  # pragma: no cover — raced
+                pass
 
 
 # --- versioned layout helpers -------------------------------------------------
@@ -415,12 +433,59 @@ def ensure_table(
         return _maintain_locked(spark, family_dir, listing, build_df)
 
 
+def _dead_tmp_pid(name: str) -> bool:
+    """True when ``name`` ends in ``tmp-<pid>`` (or ``stale-<pid>``) and
+    that pid is verifiably gone on this host. Our own pid and live/foreign
+    pids are never considered dead."""
+    try:
+        pid = int(name.rsplit("-", 1)[1])
+    except (IndexError, ValueError):
+        return False
+    if pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:  # pragma: no cover — other-uid pid, alive
+        return False
+    return False
+
+
+def _gc_crashed_tmp(family_dir: str) -> None:
+    """Remove build debris left by CRASHED maintainers (runs under the
+    maintenance lock). A crash between ``df.write`` and the atomic rename
+    leaks a ``v-*.tmp-<pid>`` (full-build), ``<version>/_tmp-<pid>``
+    (append), or ``_lock.stale-<pid>`` (takeover) — all invisible to
+    readers (dotted / underscore names) but each holding a full parquet
+    copy, so repeated crashes would otherwise accumulate unbounded."""
+    try:
+        names = os.listdir(family_dir)
+    except FileNotFoundError:  # pragma: no cover — family never built
+        return
+    for n in names:
+        p = os.path.join(family_dir, n)
+        if (".tmp-" in n or n.startswith("_lock.stale-")) and _dead_tmp_pid(n):
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:  # pragma: no cover — raced
+                    pass
+        elif n.startswith("v-") and os.path.isdir(p):
+            for m in os.listdir(p):
+                if m.startswith("_tmp-") and _dead_tmp_pid(m):
+                    shutil.rmtree(os.path.join(p, m), ignore_errors=True)
+
+
 def _maintain_locked(
     spark: SparkSession,
     family_dir: str,
     listing: dict,
     build_df: Callable[[List[str]], DataFrame],
 ) -> str:
+    _gc_crashed_tmp(family_dir)
     cur = _current_version_dir(family_dir)
     if cur is not None and _read_manifest(cur) == listing:
         # another maintainer finished the work while we waited on the lock

@@ -131,10 +131,18 @@ def _read_written_buckets(
     listing O(this run's buckets): resuming 3 buckets of 100 000 lists 3
     directories. Buckets that held no documents produce no directory —
     they are skipped here and get their ledger row via the left join +
-    fillna(0) in the caller. Object-store URIs fall back to the full
-    listing (dir existence is probed with os.path; an Iceberg catalog
-    would make this a snapshot read instead)."""
-    if "://" not in out_dir:
+    fillna(0) in the caller.
+
+    The pruned path engages only when ``out_dir`` is VERIFIABLY a local
+    directory (no URI scheme AND present on the driver's local
+    filesystem — the data write that precedes this call creates it, so
+    after a local write it always exists). Anything else — object-store
+    URIs, and scheme-less paths on a cluster whose default filesystem is
+    not the driver's local one (where an os.path probe would wrongly see
+    every bucket as absent and zero out the metrics) — falls back to the
+    full-listing read. An Iceberg catalog would make this a snapshot
+    read instead."""
+    if "://" not in out_dir and os.path.isdir(out_dir):
         dirs = [
             d
             for b in pending_ids
@@ -260,13 +268,16 @@ def run_extraction_job(
         )
     )
     metrics.select(*_STATE_COLUMNS).write.mode("append").parquet(state_dir)
+    t_ledger = time.time() - t_ledger0
 
     # Per-phase wall times, surfaced for ops/scaling analysis: phase 1 is
     # the single data job (scan/generate → exchange → kernel → partitioned
-    # write + its commit), phase 2 the metrics re-read + ledger append.
+    # write + its commit), phase 2 the metrics re-read + ledger append
+    # (captured BEFORE the counters aggregation below, which scans the
+    # whole append-only ledger and grows with its history).
     counters = _job_counters(spark, state_dir)
     counters["wall_write_sec"] = round(t_write, 2)
-    counters["wall_ledger_sec"] = round(time.time() - t_ledger0, 2)
+    counters["wall_ledger_sec"] = round(t_ledger, 2)
     return counters
 
 

@@ -258,3 +258,102 @@ def test_media_table_tail_growth_rebuilds(spark, tmp_path, monkeypatch):
         sig.read_signature_table(spark, p2).select("doc_id").distinct().count()
     )
     assert n_docs > 0
+
+
+def test_media_table_smaller_tier_reuses_superset(spark, tmp_path, monkeypatch):
+    """A smaller corpus asking AFTER a larger one must be served from the
+    existing superset table (no rebuild — the round-5 review's tier-thrash
+    finding), with the doc-range filter selecting exactly its documents."""
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 50)
+    p_big = mm.ensure_media_table(spark, 150, seed=9)
+    files = sorted(os.listdir(p_big))
+    p_small = mm.ensure_media_table(spark, 40, seed=9)
+    assert p_small == p_big, "smaller tier must not rebuild the family"
+    assert sorted(os.listdir(p_big)) == files, "table untouched"
+    filtered = mm.media_docs_filter(
+        sig.read_signature_table(spark, p_small), 40
+    )
+    from deed_ocr_spark.corpus import doc_id_for
+
+    ids = {r["doc_id"] for r in filtered.select("doc_id").distinct().collect()}
+    assert ids and all(d < doc_id_for(40) for d in ids)
+    # and the filtered frame equals a from-scratch 40-doc build
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "scratch"))
+    p_ref = mm.ensure_media_table(spark, 40, seed=9)
+    want = {
+        tuple(r)
+        for r in sig.read_signature_table(spark, p_ref).drop("meta").collect()
+    }
+    got = {tuple(r) for r in filtered.drop("meta").collect()}
+    assert got == want
+
+
+def test_lock_live_holder_never_stolen_by_age(tmp_path):
+    """An old-but-live lock (long rebuild) must NOT be stolen: age-based
+    takeover applies only when the holder pid is indeterminate."""
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0.0}, f)  # live pid, ancient ts
+    os.utime(lock, (0, 0))  # mtime far past stale_after
+    with pytest.raises(TimeoutError):
+        with sig._maintenance_lock(fam, timeout=0.3, stale_after=1.0):
+            pass  # pragma: no cover
+    with open(lock) as f:
+        assert json.load(f)["pid"] == os.getpid(), "live holder's lock intact"
+
+
+def test_lock_torn_holder_stolen_only_after_stale_age(tmp_path):
+    """A lock with an unreadable holder record is taken over only once it
+    is older than stale_after."""
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    with open(lock, "w") as f:
+        f.write("not json")
+    os.utime(lock, (0, 0))
+    with sig._maintenance_lock(fam, timeout=5.0, stale_after=1.0):
+        with open(lock) as f:
+            assert json.load(f)["pid"] == os.getpid()
+
+
+def test_lock_release_spares_successors_lock(tmp_path):
+    """If a holder was superseded (its lock replaced by another pid), its
+    release must NOT unlink the successor's lock."""
+    fam = str(tmp_path / "fam")
+    lock = os.path.join(fam, "_lock")
+    other = 2**22 + 999
+    with sig._maintenance_lock(fam):
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            json.dump({"pid": other, "ts": 0.0}, f)
+    with open(lock) as f:
+        assert json.load(f)["pid"] == other, "successor's lock survived"
+
+
+def test_crashed_tmp_dirs_are_gced(spark, tmp_path, monkeypatch):
+    """Build debris from a crashed maintainer (dead pid in the name) is
+    removed at the next maintenance; live maintainers' dirs survive."""
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    p = mm.ensure_media_table(spark, 30, seed=13)
+    fam = os.path.dirname(p)
+    dead = 2**22 + 777
+    crash_v = os.path.join(fam, f"v-000009-deadbeef00.tmp-{dead}")
+    os.makedirs(crash_v)
+    crash_add = os.path.join(p, f"_tmp-{dead}")
+    os.makedirs(crash_add)
+    live_v = os.path.join(fam, f"v-000008-cafecafe00.tmp-{os.getpid()}")
+    os.makedirs(live_v)
+    with sig._maintenance_lock(fam):
+        pass  # make sure GC runs under the normal entry point next
+    sig._gc_crashed_tmp(fam)
+    assert not os.path.exists(crash_v), "dead full-build tmp removed"
+    assert not os.path.exists(crash_add), "dead append tmp removed"
+    assert os.path.exists(live_v), "live maintainer's tmp preserved"
+    shutil.rmtree(live_v)

@@ -48,8 +48,11 @@ def test_listing_is_bounded_to_pending_dirs(spark, written):
 
 
 def test_no_written_dirs_yields_typed_empty_frame(spark, tmp_path):
-    out = str(tmp_path / "never_written")
-    df = _read_written_buckets(spark, out, [0, 1])
+    # the data write always creates out_dir before the re-read; "no pending
+    # bucket wrote output" means the dir exists but holds no bucket dirs
+    out = tmp_path / "out_no_buckets"
+    out.mkdir()
+    df = _read_written_buckets(spark, str(out), [0, 1])
     assert df.count() == 0
     assert "part_bucket" in df.columns and "doc_id" in df.columns
 
