@@ -96,6 +96,10 @@ def test_m1_plan_scans_media_table_not_corpus(spark):
     assert "InMemoryTableScan" not in plan
     assert "Range" not in plan, "m1 must not regenerate/re-extract the corpus"
     assert "MapInArrow" not in plan, "extraction kernel must not run inside m1"
+    # the family is a per-seed SUPERSET table; the tier's doc-range
+    # predicate must reach the parquet scan so row groups beyond the tier
+    # are skipped by statistics, not read and filtered
+    assert "LessThan(doc_id,doc-" in plan, "tier filter lost pushdown"
 
 
 def test_x4_details_plan_stays_zero_exchange(spark):
