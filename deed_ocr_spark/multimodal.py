@@ -122,7 +122,15 @@ def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
     from deed_ocr_spark.signatures import ensure_table, family_dir_for
 
     family_dir = family_dir_for(f"synthetic-media:{seed}", "media")
-    listing = _media_listing(max(n_docs, _existing_media_docs(family_dir)), seed)
+
+    # CALLABLE listing: the superset rule reads the table's own current
+    # state, so it must be re-evaluated under the maintenance lock — a
+    # dict snapshotted before the lock would let a smaller tier, racing a
+    # larger tier's build, rebuild the table down to its own stale view.
+    def listing() -> dict:
+        return _media_listing(
+            max(n_docs, _existing_media_docs(family_dir)), seed
+        )
 
     def build(parts) -> DataFrame:
         frames = [

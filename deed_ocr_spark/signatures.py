@@ -179,6 +179,20 @@ def _rebalanced(spark: SparkSession, docs: DataFrame, n_files: int) -> DataFrame
 
 
 # --- advisory maintenance lock ------------------------------------------------
+def _proc_start(pid: int):
+    """Kernel start time (clock ticks since boot) of ``pid``, or None when
+    unreadable. Distinguishes a RECYCLED pid from the original holder: two
+    processes can share a pid across reuse, never a (pid, starttime) pair.
+    /proc/<pid>/stat field 22; the comm field (2) may itself contain spaces
+    or parens, so parse from the LAST ')'."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):  # pragma: no cover — non-proc
+        return None
+
+
 @contextmanager
 def _maintenance_lock(
     family_dir: str,
@@ -187,20 +201,22 @@ def _maintenance_lock(
 ):
     """Single-maintainer mutual exclusion for one family directory.
 
-    O_CREAT|O_EXCL lock file holding {pid, ts}. A contender takes over a
-    lock via rename (atomic: exactly one of N stale-detectors wins; the
-    rest loop and re-contend) ONLY when the holder is provably gone: its
-    pid is dead (same host — os.kill(pid, 0)), or the holder pid cannot
-    be determined at all (torn write) AND the file is older than
-    ``stale_after``. A lock whose pid answers kill(0) — including
-    EPERM from another uid — is LIVE regardless of age: long rebuilds
-    (the 100 TB shape) must not have their lock stolen mid-flight, so
+    O_CREAT|O_EXCL lock file holding {pid, ts, start}. A contender takes
+    over a lock via rename (atomic: exactly one of N stale-detectors
+    wins; the rest loop and re-contend) ONLY when the holder is provably
+    gone: its pid is dead (same host — os.kill(pid, 0)); its pid is
+    alive but belongs to a DIFFERENT process than the one that wrote the
+    lock (recorded /proc starttime mismatch — pid recycling after a
+    crash or reboot, which would otherwise wedge the family forever); or
+    the holder cannot be determined at all (torn write) AND the file is
+    older than ``stale_after``. A lock whose (pid, starttime) still
+    matches a live process is LIVE regardless of age: long rebuilds (the
+    100 TB shape) must not have their lock stolen mid-flight, so
     contenders wait up to ``timeout`` and then raise. Release deletes
     the lock only if it still records this pid, so a holder that WAS
-    legitimately superseded (crash replay, clock skew) cannot unlink a
-    successor's lock. On a real deployment this is the catalog's atomic
-    commit; the advisory file covers the single-host bench-vs-driver
-    race (round-4 VERDICT #3)."""
+    legitimately superseded cannot unlink a successor's lock. On a real
+    deployment this is the catalog's atomic commit; the advisory file
+    covers the single-host bench-vs-driver race (round-4 VERDICT #3)."""
     os.makedirs(family_dir, exist_ok=True)
     lock = os.path.join(family_dir, "_lock")
     deadline = time.monotonic() + timeout
@@ -210,7 +226,13 @@ def _maintenance_lock(
             try:
                 os.write(
                     fd,
-                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                    json.dumps(
+                        {
+                            "pid": os.getpid(),
+                            "ts": time.time(),
+                            "start": _proc_start(os.getpid()),
+                        }
+                    ).encode(),
                 )
             finally:
                 os.close(fd)
@@ -221,15 +243,21 @@ def _maintenance_lock(
                 with open(lock) as f:
                     holder = json.load(f)
                 pid = int(holder.get("pid", -1))
+                rec_start = holder.get("start")
             except (OSError, ValueError):
-                pid = -1  # torn write or vanished — age check decides
+                pid, rec_start = -1, None  # torn write — age check decides
             if pid > 0:
                 try:
                     os.kill(pid, 0)
                 except ProcessLookupError:
                     stale = True
                 except PermissionError:  # pragma: no cover — other-uid pid
-                    pass  # exists → live; never age-steal a live holder
+                    pass  # exists → liveness decided by starttime below
+                if not stale and rec_start is not None:
+                    # pid answers, but is it the SAME process that locked?
+                    now_start = _proc_start(pid)
+                    if now_start is not None and now_start != rec_start:
+                        stale = True  # recycled pid — original holder gone
             else:
                 # holder unknown (torn write): age decides
                 try:
@@ -404,11 +432,17 @@ def _write_version(
 def ensure_table(
     spark: SparkSession,
     family_dir: str,
-    listing: dict,
+    listing,
     build_df: Callable[[List[str]], DataFrame],
 ) -> str:
     """Generic content-keyed table maintenance; returns the current VERSION
-    directory path. ``listing`` maps part name → fingerprint; ``build_df``
+    directory path. ``listing`` maps part name → fingerprint — either the
+    dict itself, or a zero-arg CALLABLE returning it. Pass a callable
+    whenever the listing is derived from the table's own current state
+    (e.g. the media family's superset rule): it is re-evaluated AFTER the
+    maintenance lock is acquired, so a concurrent maintainer's commit is
+    observed rather than clobbered (a dict snapshotted before the lock
+    would rebuild the table back to its own stale view). ``build_df``
     must return the table rows for exactly the named parts (per-part work —
     rows for new parts never depend on old parts, which is what makes the
     append path sound).
@@ -425,47 +459,46 @@ def ensure_table(
     * any old part changed/disappeared → full rebuild into a fresh
       version, _CURRENT swapped atomically.
     """
+    listing_fn = listing if callable(listing) else (lambda: listing)
     cur = _current_version_dir(family_dir)
-    if cur is not None and _read_manifest(cur) == listing:
+    if cur is not None and _read_manifest(cur) == listing_fn():
         if _add_dir_count(cur) < SIG_COMPACT_AFTER:
             return cur
     with _maintenance_lock(family_dir):
-        return _maintain_locked(spark, family_dir, listing, build_df)
+        return _maintain_locked(spark, family_dir, listing_fn(), build_df)
 
 
-def _dead_tmp_pid(name: str) -> bool:
-    """True when ``name`` ends in ``tmp-<pid>`` (or ``stale-<pid>``) and
-    that pid is verifiably gone on this host. Our own pid and live/foreign
-    pids are never considered dead."""
+def _foreign_tmp(name: str) -> bool:
+    """True when ``name`` is another maintainer's temp debris: it ends in
+    ``tmp-<pid>`` / ``stale-<pid>`` with a pid other than ours. Liveness
+    of that pid is deliberately NOT consulted: every write of temp state
+    happens while HOLDING the family lock, and this predicate only runs
+    under that same lock — so any foreign temp entry visible now belongs
+    to a maintainer that crashed or lost its lock, never to an active
+    one. (Checking liveness would under-collect: a recycled pid looks
+    alive forever.)"""
     try:
         pid = int(name.rsplit("-", 1)[1])
     except (IndexError, ValueError):
         return False
-    if pid == os.getpid():
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return True
-    except PermissionError:  # pragma: no cover — other-uid pid, alive
-        return False
-    return False
+    return pid != os.getpid()
 
 
 def _gc_crashed_tmp(family_dir: str) -> None:
     """Remove build debris left by CRASHED maintainers (runs under the
-    maintenance lock). A crash between ``df.write`` and the atomic rename
-    leaks a ``v-*.tmp-<pid>`` (full-build), ``<version>/_tmp-<pid>``
-    (append), or ``_lock.stale-<pid>`` (takeover) — all invisible to
-    readers (dotted / underscore names) but each holding a full parquet
-    copy, so repeated crashes would otherwise accumulate unbounded."""
+    maintenance lock). A crash between a temp write and its atomic rename
+    leaks a ``v-*.tmp-<pid>`` (full-build — a full parquet copy),
+    ``<version>/_tmp-<pid>`` (append), ``<version>/_manifest.json.tmp-<pid>``
+    (manifest swap), or ``_lock.stale-<pid>`` (takeover grave) — all
+    invisible to readers (dotted / underscore names), but accumulating
+    unbounded across repeated crashes if never collected."""
     try:
         names = os.listdir(family_dir)
     except FileNotFoundError:  # pragma: no cover — family never built
         return
     for n in names:
         p = os.path.join(family_dir, n)
-        if (".tmp-" in n or n.startswith("_lock.stale-")) and _dead_tmp_pid(n):
+        if (".tmp-" in n or n.startswith("_lock.stale-")) and _foreign_tmp(n):
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
             else:
@@ -475,8 +508,17 @@ def _gc_crashed_tmp(family_dir: str) -> None:
                     pass
         elif n.startswith("v-") and os.path.isdir(p):
             for m in os.listdir(p):
-                if m.startswith("_tmp-") and _dead_tmp_pid(m):
-                    shutil.rmtree(os.path.join(p, m), ignore_errors=True)
+                if (
+                    m.startswith("_tmp-") or ".tmp-" in m
+                ) and _foreign_tmp(m):
+                    mp = os.path.join(p, m)
+                    if os.path.isdir(mp):
+                        shutil.rmtree(mp, ignore_errors=True)
+                    else:
+                        try:
+                            os.unlink(mp)
+                        except FileNotFoundError:  # pragma: no cover
+                            pass
 
 
 def _maintain_locked(

@@ -133,29 +133,37 @@ def _read_written_buckets(
     they are skipped here and get their ledger row via the left join +
     fillna(0) in the caller.
 
-    The pruned path engages only when ``out_dir`` is VERIFIABLY a local
-    directory (no URI scheme AND present on the driver's local
-    filesystem — the data write that precedes this call creates it, so
-    after a local write it always exists). Anything else — object-store
-    URIs, and scheme-less paths on a cluster whose default filesystem is
-    not the driver's local one (where an os.path probe would wrongly see
-    every bucket as absent and zero out the metrics) — falls back to the
-    full-listing read. An Iceberg catalog would make this a snapshot
-    read instead."""
-    if "://" not in out_dir and os.path.isdir(out_dir):
+    The pruned path engages only on POSITIVE evidence that the write
+    landed on the driver's local filesystem: no URI scheme AND at least
+    one pending bucket directory actually present locally. Everything
+    else — object-store URIs, scheme-less paths on a cluster whose
+    default filesystem is not the driver's local one (where an os.path
+    probe sees nothing even though data exists), and the no-local-dirs
+    case — goes through Spark's own filesystem resolution: the
+    full-listing read filtered to the pending buckets, with a missing /
+    empty table mapping to a typed empty frame (so genuinely-empty
+    pending buckets still ledger correctly). The only way to reach the
+    pruned path wrongly would be a local directory tree that shadows a
+    remote one at the same scheme-less path with matching bucket names —
+    a layout collision, not a plausible deployment. An Iceberg catalog
+    would make this a snapshot read instead."""
+    if "://" not in out_dir:
         dirs = [
             d
             for b in pending_ids
             if os.path.isdir(d := os.path.join(out_dir, f"part_bucket={b}"))
         ]
-        if not dirs:
-            return spark.createDataFrame(
-                [], SPANS_OUT_DDL + ", part_bucket int"
-            )
-        return spark.read.option("basePath", out_dir).parquet(*dirs)
-    return spark.read.parquet(out_dir).filter(
-        F.col("part_bucket").isin(pending_ids)
-    )
+        if dirs:
+            return spark.read.option("basePath", out_dir).parquet(*dirs)
+    try:
+        return spark.read.parquet(out_dir).filter(
+            F.col("part_bucket").isin(pending_ids)
+        )
+    except AnalysisException:
+        # no files at all (every pending bucket held zero documents, or
+        # first run over an empty input): typed empty frame — the caller's
+        # left join + fillna(0) turns it into per-bucket done rows
+        return spark.createDataFrame([], SPANS_OUT_DDL + ", part_bucket int")
 
 
 def run_extraction_job(

@@ -357,3 +357,68 @@ def test_crashed_tmp_dirs_are_gced(spark, tmp_path, monkeypatch):
     assert not os.path.exists(crash_add), "dead append tmp removed"
     assert os.path.exists(live_v), "live maintainer's tmp preserved"
     shutil.rmtree(live_v)
+
+
+def test_ensure_table_reevaluates_listing_under_lock(spark, tmp_path, monkeypatch):
+    """The media superset race: a listing snapshotted BEFORE the lock must
+    not clobber a bigger table committed while waiting. ensure_table takes
+    a callable and re-evaluates it under the lock; if the second
+    evaluation matches the manifest, the table is returned untouched and
+    build_df is never called."""
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 50)
+    p_big = mm.ensure_media_table(spark, 100, seed=21)
+    big_listing = sig._read_manifest(p_big)
+    small_listing = mm._media_listing(40, 21)
+    fam = os.path.dirname(p_big)
+
+    calls = []
+
+    def listing():
+        calls.append(1)
+        # first evaluation (lock-free fast path) sees the STALE small
+        # snapshot; the under-lock re-evaluation sees the committed table
+        return small_listing if len(calls) == 1 else big_listing
+
+    def never_build(parts):  # pragma: no cover — failing path
+        raise AssertionError("stale listing must not trigger a rebuild")
+
+    p = sig.ensure_table(spark, fam, listing, never_build)
+    assert p == p_big
+    assert len(calls) >= 2, "listing must be re-evaluated under the lock"
+    assert sig._read_manifest(p) == big_listing
+
+
+def test_lock_recycled_pid_is_taken_over(tmp_path):
+    """A lock whose pid is alive but whose recorded /proc starttime does
+    not match the current process at that pid (pid recycled after a crash
+    or reboot) must be stolen — otherwise the family wedges forever."""
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0.0, "start": 1}, f)  # wrong start
+    with sig._maintenance_lock(fam, timeout=5.0):
+        with open(lock) as f:
+            rec = json.load(f)
+        assert rec["pid"] == os.getpid()
+        assert rec["start"] == sig._proc_start(os.getpid())
+
+
+def test_lock_same_process_start_is_live(tmp_path):
+    """The same (pid, starttime) pair as a live process is LIVE no matter
+    how old the lock file is."""
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    with open(lock, "w") as f:
+        json.dump(
+            {"pid": os.getpid(), "ts": 0.0, "start": sig._proc_start(os.getpid())},
+            f,
+        )
+    os.utime(lock, (0, 0))
+    with pytest.raises(TimeoutError):
+        with sig._maintenance_lock(fam, timeout=0.3, stale_after=1.0):
+            pass  # pragma: no cover
