@@ -692,3 +692,28 @@ QUERIES = {
     "d8_minhash_sig": d8_minhash_sig,
     "d9_minhash_band_pairs": d9_minhash_band_pairs,
 }
+
+
+# --- D13b: the bucketed-table self-join (exchange-free dedup shape) -----------
+# Unregistered (registry holds the 50-row driver cap) but pytest-covered:
+# identical rows to d13, with every fp-clustered step — distinct, df count,
+# df-cap join, self-join — running on bucket co-location instead of
+# shuffling. The only exchange left in the plan is the final
+# (doc_a, doc_b) aggregation, whose key genuinely differs from fp.
+def d13b_winnow_dup_pairs_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = 1,
+    max_df: int = 64,
+    n_buckets: int = 8,
+) -> DataFrame:
+    from deed_ocr_spark.signatures import (
+        WINNOW_FPS,
+        ensure_bucketed_signature_table,
+    )
+
+    name = ensure_bucketed_signature_table(
+        spark, sf_dir, WINNOW_FPS, key="fp", n_buckets=n_buckets
+    )
+    fps = spark.table(name).select("doc_id", "fp")
+    return winnow_dup_pairs_from(fps, min_shared=min_shared, max_df=max_df)

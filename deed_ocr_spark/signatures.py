@@ -705,3 +705,63 @@ def winnow_dup_pairs_from_tables(
         min_shared=min_shared,
         max_df=max_df,
     )
+
+
+# --- bucketed signature tables: the exchange-free self-join shape -------------
+def ensure_bucketed_signature_table(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    key: str = "fp",
+    n_buckets: int = 8,
+) -> str:
+    """Materialize ``family`` ALSO as a catalog table bucketed on ``key``
+    and return the table name.
+
+    Why: the dedup self-joins (winnow dup-pairs, band pairs) and their
+    feeder aggregations all cluster on the same key. A plain parquet scan
+    shuffles for each of them; a ``bucketBy(key)`` table satisfies every
+    ``ClusteredDistribution`` whose keys INCLUDE the bucket key (Spark's
+    subset rule: HashPartitioning(fp) co-locates (fp, doc_id) groups
+    too), so the distinct, the document-frequency count, the df-cap join
+    and the self-join all run with ZERO exchanges — the only shuffle
+    left in the whole dup-pairs pipeline is the final (doc_a, doc_b)
+    aggregation, whose key genuinely differs. At 100 TB this is the
+    difference between shuffling the signature table four times per
+    maintenance query and never shuffling it at all (the Iceberg analog:
+    a bucket-partitioned table + storage-partitioned join).
+
+    The table name is VERSION-KEYED (derived from the current version
+    dir), so staleness is structural: a rebuilt family gets a new name,
+    and stale generations — catalog entries AND their external data
+    dirs — are dropped. The data lives as an EXTERNAL table inside the
+    family cache dir (`bucketed-<version>/`), so nothing lands in the
+    session's warehouse dir and a fresh session (whose in-memory catalog
+    forgot the entry) just re-registers by rewriting the narrow table —
+    one rewrite, amortized across every dedup query of the session.
+    Creation serializes under the family maintenance lock."""
+    version_dir = ensure_signature_table(spark, sf_dir, family)
+    family_dir = os.path.dirname(version_dir)
+    vname = os.path.basename(version_dir)
+    token = hashlib.md5(os.path.realpath(version_dir).encode()).hexdigest()[:10]
+    name = f"sig_{family}_{token}"
+    if spark.catalog.tableExists(name):
+        return name
+    with _maintenance_lock(family_dir):
+        if spark.catalog.tableExists(name):  # raced another session thread
+            return name
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"sig_{family}_"):  # stale generation
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        for n in os.listdir(family_dir):
+            if n.startswith("bucketed-") and n != f"bucketed-{vname}":
+                shutil.rmtree(os.path.join(family_dir, n), ignore_errors=True)
+        (
+            read_signature_table(spark, version_dir)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", os.path.join(family_dir, f"bucketed-{vname}"))
+            .saveAsTable(name)
+        )
+    return name

@@ -1,0 +1,112 @@
+"""Bucketed signature tables: the exchange-free dedup self-join.
+
+d13's pipeline clusters on `fp` four times (distinct, document-frequency
+count, df-cap join, self-join). From a plain parquet signature table each
+step shuffles; from a `bucketBy(fp)` catalog table Spark's subset rule
+(HashPartitioning(fp) satisfies any ClusteredDistribution whose keys
+include fp) makes every one of them exchange-free. These tests lock both
+properties: row identity with the plain d13, and a physical plan whose
+ONLY exchange is the final (doc_a, doc_b) aggregation.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import deed_ocr_spark.signatures as sig
+from deed_ocr_spark.queries.textpipe import (
+    d13_winnow_dup_pairs,
+    d13b_winnow_dup_pairs_bucketed,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _exchange_ids(plan: str) -> set:
+    """Distinct Exchange node ids in a formatted plan (each node appears
+    once in the tree and once in the details section)."""
+    return set(re.findall(r"Exchange \((\d+)\)", plan))
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    name = sig.ensure_bucketed_signature_table(
+        spark, SF, sig.WINNOW_FPS, key="fp", n_buckets=8
+    )
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_rows_equal_plain_d13(spark, bucketed):
+    plain = {
+        tuple(r) for r in d13_winnow_dup_pairs(spark, SF).collect()
+    }
+    buck = {
+        tuple(r)
+        for r in d13b_winnow_dup_pairs_bucketed(spark, SF).collect()
+    }
+    assert buck == plain and buck
+
+
+def test_bucketed_plan_has_single_exchange(spark, bucketed):
+    # broadcast off: at 100 TB neither join side broadcasts, and the
+    # exchange-free claim must hold on the sort-merge path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(d13b_winnow_dup_pairs_bucketed(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # every fp-clustered step rides the bucketing; the one exchange left
+    # is the final (doc_a, doc_b) pair aggregation
+    assert len(_exchange_ids(plan)) == 1, plan
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_plain_plan_shuffles_more(spark, bucketed):
+    """The claim is relative: the plain-table pipeline must carry MORE
+    exchanges than the bucketed one — otherwise the bucketed copy is
+    pointless and this module should be deleted."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(d13_winnow_dup_pairs(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert len(_exchange_ids(plan)) > 1
+
+
+def test_stale_generation_dropped_on_rebuild(spark, tmp_path, monkeypatch):
+    """A rebuilt family version gets a NEW table name and the stale
+    generation is dropped from the catalog."""
+    import shutil as sh
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    sh.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
+    n1 = sig.ensure_bucketed_signature_table(
+        spark, str(corpus), sig.WINNOW_FPS
+    )
+    assert spark.catalog.tableExists(n1)
+    # touch the corpus → new version → new name, old table dropped
+    import os
+    import time as t
+
+    p = corpus / "documents.parquet"
+    os.utime(p, ns=(t.time_ns(), t.time_ns()))
+    n2 = sig.ensure_bucketed_signature_table(
+        spark, str(corpus), sig.WINNOW_FPS
+    )
+    assert n2 != n1
+    assert spark.catalog.tableExists(n2)
+    assert not spark.catalog.tableExists(n1)
+    spark.sql(f"DROP TABLE IF EXISTS {n2}")
