@@ -240,10 +240,12 @@ def d8_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Docs sharing a band collide; pairs from band-bucket self-joins, never a
 # cross join. At scale: groupBy(band) with a per-bucket cap would bound
 # fanout; here buckets are tiny.
-def _band_pairs_from(sig: DataFrame) -> DataFrame:
-    # one signature pass → explode to (doc_id, band); band id is salted into
-    # the hash so band1/band2 buckets never collide with each other
-    bands = sig.select(
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band) rows from a signature frame; band id is salted into
+    the hash so band1/band2 buckets never collide with each other. Strictly
+    per-document work — the property that lets the bands signature family
+    append incrementally (signatures.py)."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -252,6 +254,12 @@ def _band_pairs_from(sig: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     )
+
+
+def _band_pairs_of(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from a (doc_id, band) frame: band-bucket self-join,
+    never a cross join. From a band-bucketed catalog table the join is
+    exchange-free (see d9b)."""
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -262,6 +270,11 @@ def _band_pairs_from(sig: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _band_pairs_from(sig: DataFrame) -> DataFrame:
+    # one signature pass → explode to (doc_id, band) → band self-join
+    return _band_pairs_of(_band_rows(sig))
 
 
 def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,3 +730,21 @@ def d13b_winnow_dup_pairs_bucketed(
     )
     fps = spark.table(name).select("doc_id", "fp")
     return winnow_dup_pairs_from(fps, min_shared=min_shared, max_df=max_df)
+
+
+# --- D9b: band self-join from the bucketed bands table ------------------------
+# Same shape as d13b: the band equi-join rides bucket co-location; the only
+# exchange left is the final (doc_a, doc_b) distinct. Unregistered,
+# pytest-covered (row identity with d9 + one-Exchange plan assertion).
+def d9b_minhash_band_pairs_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    from deed_ocr_spark.signatures import (
+        BANDS,
+        ensure_bucketed_signature_table,
+    )
+
+    name = ensure_bucketed_signature_table(
+        spark, sf_dir, BANDS, key="band", n_buckets=n_buckets
+    )
+    return _band_pairs_of(spark.table(name).select("doc_id", "band"))

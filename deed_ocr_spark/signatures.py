@@ -49,6 +49,7 @@ from typing import Callable, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from deed_ocr_spark.queries.textpipe import (
+    _band_rows,
     _minhash_sig_from,
     _band_pairs_from,
     _shingle_rows,
@@ -60,6 +61,7 @@ from deed_ocr_spark.queries.textpipe import (
 SHINGLES = "shingles"
 MINHASH_SIGS = "minhash_sigs"
 WINNOW_FPS = "winnow_fps"
+BANDS = "bands"
 
 # Default root for content-keyed signature tables (the registered d7/d13
 # route — see ensure_signature_table). User-private (~/.cache) rather than
@@ -166,6 +168,8 @@ def _family_df_of(docs: DataFrame, family: str) -> DataFrame:
         return shingle_rows_of(docs)
     if family == MINHASH_SIGS:
         return _minhash_sig_from(shingle_rows_of(docs))
+    if family == BANDS:
+        return _band_rows(_minhash_sig_from(shingle_rows_of(docs)))
     if family == WINNOW_FPS:
         return winnow_fingerprints_of(docs)
     raise ValueError(f"unknown signature family: {family!r}")

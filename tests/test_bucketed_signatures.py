@@ -110,3 +110,34 @@ def test_stale_generation_dropped_on_rebuild(spark, tmp_path, monkeypatch):
     assert spark.catalog.tableExists(n2)
     assert not spark.catalog.tableExists(n1)
     spark.sql(f"DROP TABLE IF EXISTS {n2}")
+
+
+def test_band_pairs_bucketed_rows_and_plan(spark):
+    """d9b: the band self-join from the bucketed bands family — identical
+    rows to d9, and the only Exchange in the plan is the final
+    (doc_a, doc_b) distinct."""
+    from deed_ocr_spark.queries.textpipe import (
+        d9_minhash_band_pairs,
+        d9b_minhash_band_pairs_bucketed,
+    )
+
+    name = sig.ensure_bucketed_signature_table(
+        spark, SF, sig.BANDS, key="band", n_buckets=8
+    )
+    try:
+        plain = {tuple(r) for r in d9_minhash_band_pairs(spark, SF).collect()}
+        buck = {
+            tuple(r)
+            for r in d9b_minhash_band_pairs_bucketed(spark, SF).collect()
+        }
+        assert buck == plain and buck
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(d9b_minhash_band_pairs_bucketed(spark, SF))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert len(_exchange_ids(plan)) == 1, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
