@@ -748,3 +748,30 @@ def d9b_minhash_band_pairs_bucketed(
         spark, sf_dir, BANDS, key="band", n_buckets=n_buckets
     )
     return _band_pairs_of(spark.table(name).select("doc_id", "band"))
+
+
+# --- D7b: Jaccard pipeline from the doc_id-bucketed shingles table ------------
+# d7's pipeline mixes keys, so unlike d13b/d9b it cannot go down to one
+# Exchange — the band self-join and the (doc_b, tok) intersection join
+# genuinely shuffle. But FOUR of its nine exchanges cluster on doc_id
+# (size agg, MinHash agg, and the bucketed side of both intersection
+# joins), and a bucketBy(doc_id) shingles mirror makes each ride bucket
+# co-location. Measured at sf0.1: 0.79 s / 9 exchanges → 0.58 s / 5
+# exchanges, identical 253 pairs (BENCH.md). Unregistered, pytest-covered.
+def d7b_ngram_jaccard_pairs_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_buckets: int = 8,
+) -> DataFrame:
+    from deed_ocr_spark.signatures import (
+        SHINGLES,
+        ensure_bucketed_signature_table,
+    )
+
+    name = ensure_bucketed_signature_table(
+        spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
+    )
+    return ngram_jaccard_pairs_from(
+        spark.table(name).select("doc_id", "sh"), threshold=threshold
+    )

@@ -141,3 +141,43 @@ def test_band_pairs_bucketed_rows_and_plan(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_jaccard_bucketed_rows_and_plan(spark):
+    """d7b: the Jaccard pipeline from a doc_id-bucketed shingles mirror.
+    Mixed keys mean it cannot reach one Exchange (band self-join and the
+    (doc_b, tok) intersection join genuinely shuffle), but every
+    doc_id-clustered step — size agg, MinHash agg, the bucketed side of
+    both intersection joins — must ride the bucketing: strictly fewer
+    exchanges than the plain-table plan, identical rows."""
+    from deed_ocr_spark.queries.textpipe import (
+        d7_ngram_jaccard_pairs,
+        d7b_ngram_jaccard_pairs_bucketed,
+    )
+
+    name = sig.ensure_bucketed_signature_table(
+        spark, SF, sig.SHINGLES, key="doc_id", n_buckets=8
+    )
+    try:
+        plain = {tuple(r) for r in d7_ngram_jaccard_pairs(spark, SF).collect()}
+        buck = {
+            tuple(r)
+            for r in d7b_ngram_jaccard_pairs_bucketed(spark, SF).collect()
+        }
+        assert buck == plain and buck
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan_plain = _plan(d7_ngram_jaccard_pairs(spark, SF))
+            plan_buck = _plan(d7b_ngram_jaccard_pairs_bucketed(spark, SF))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert len(_exchange_ids(plan_buck)) < len(_exchange_ids(plan_plain)), (
+            plan_buck
+        )
+        # still a real-candidate plan: no cartesian, no cache, no
+        # re-tokenization of the corpus
+        assert "CartesianProduct" not in plan_buck
+        assert "InMemoryTableScan" not in plan_buck
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
