@@ -276,7 +276,13 @@ def _maintenance_lock(
                 except FileNotFoundError:
                     pass
                 else:
-                    os.unlink(grave)
+                    # the grave is the one temp file written while NOT
+                    # holding the lock, so a successor's _gc_crashed_tmp
+                    # may legitimately collect it before we get here
+                    try:
+                        os.unlink(grave)
+                    except FileNotFoundError:
+                        pass
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -712,6 +718,45 @@ def winnow_dup_pairs_from_tables(
 
 
 # --- bucketed signature tables: the exchange-free self-join shape -------------
+def _bucketed_token(version_dir: str, key: str, n_buckets: int) -> str:
+    """Identity token of one bucketed-mirror GENERATION. Covers everything
+    that changes the mirror's CONTENT or LAYOUT: the version dir path
+    (rebuilds/compactions), the committed add-* dirs (incremental appends
+    land inside the version dir without changing its path — a mirror built
+    before an append must get a new token, or the tableExists fast path
+    would keep serving rows that miss the appended documents), and the
+    bucketing spec itself (a caller asking for a different key or bucket
+    count must never be handed the old layout)."""
+    state = {
+        "dir": os.path.realpath(version_dir),
+        "key": key,
+        "n_buckets": n_buckets,
+        "adds": sorted(
+            n for n in os.listdir(version_dir) if n.startswith("add-")
+        ),
+    }
+    return hashlib.md5(
+        json.dumps(state, sort_keys=True).encode()
+    ).hexdigest()[:10]
+
+
+def _gc_bucketed_generations(family_dir: str, current: str) -> None:
+    """Drop bucketed-mirror data dirs older than the immediate
+    predecessor. Mirrors _gc_versions: the newest non-current generation
+    survives one more cycle so a reader that planned against it before
+    the swap keeps a stable snapshot."""
+    others = sorted(
+        (
+            n
+            for n in os.listdir(family_dir)
+            if n.startswith("bucketed-") and n != current
+        ),
+        key=lambda n: os.path.getmtime(os.path.join(family_dir, n)),
+    )
+    for n in others[:-1]:
+        shutil.rmtree(os.path.join(family_dir, n), ignore_errors=True)
+
+
 def ensure_bucketed_signature_table(
     spark: SparkSession,
     sf_dir: str,
@@ -735,37 +780,63 @@ def ensure_bucketed_signature_table(
     maintenance query and never shuffling it at all (the Iceberg analog:
     a bucket-partitioned table + storage-partitioned join).
 
-    The table name is VERSION-KEYED (derived from the current version
-    dir), so staleness is structural: a rebuilt family gets a new name,
-    and stale generations — catalog entries AND their external data
-    dirs — are dropped. The data lives as an EXTERNAL table inside the
-    family cache dir (`bucketed-<version>/`), so nothing lands in the
-    session's warehouse dir and a fresh session (whose in-memory catalog
-    forgot the entry) just re-registers by rewriting the narrow table —
-    one rewrite, amortized across every dedup query of the session.
-    Creation serializes under the family maintenance lock."""
+    The table name is STATE-KEYED (_bucketed_token: version dir + add
+    dirs + bucketing spec, scoped by a corpus token so distinct corpora
+    of the same family never collide), so staleness is structural: a
+    rebuild, an incremental append, or a different bucketing spec each
+    yield a new name, and stale catalog entries of the SAME corpus are
+    dropped. The data lives as an EXTERNAL table inside the family cache
+    dir (`bucketed-<token>/`): nothing lands in the session's warehouse
+    dir, a completed generation is never rewritten in place — a fresh
+    session (whose in-memory catalog forgot the entry) re-registers the
+    existing files via DDL instead of re-running the write — and the
+    immediate predecessor generation is retained one cycle for readers
+    that planned before the swap (_gc_bucketed_generations). Creation
+    serializes under the family maintenance lock."""
     version_dir = ensure_signature_table(spark, sf_dir, family)
     family_dir = os.path.dirname(version_dir)
-    vname = os.path.basename(version_dir)
-    token = hashlib.md5(os.path.realpath(version_dir).encode()).hexdigest()[:10]
-    name = f"sig_{family}_{token}"
+    scope = hashlib.md5(
+        os.path.realpath(family_dir).encode()
+    ).hexdigest()[:6]
+
+    def name_for(token: str) -> str:
+        return f"sig_{family}_{scope}_{token}"
+
+    name = name_for(_bucketed_token(version_dir, key, n_buckets))
     if spark.catalog.tableExists(name):
         return name
     with _maintenance_lock(family_dir):
+        # re-derive under the lock: an append that landed between the
+        # fast path and lock acquisition changes the token
+        token = _bucketed_token(version_dir, key, n_buckets)
+        name = name_for(token)
         if spark.catalog.tableExists(name):  # raced another session thread
             return name
         for t in spark.catalog.listTables():
-            if t.name.startswith(f"sig_{family}_"):  # stale generation
+            # stale generations of THIS corpus only — other corpora's
+            # mirrors for the same family are live tables, not staleness
+            if t.name.startswith(f"sig_{family}_{scope}_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        for n in os.listdir(family_dir):
-            if n.startswith("bucketed-") and n != f"bucketed-{vname}":
-                shutil.rmtree(os.path.join(family_dir, n), ignore_errors=True)
-        (
-            read_signature_table(spark, version_dir)
-            .write.bucketBy(n_buckets, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .option("path", os.path.join(family_dir, f"bucketed-{vname}"))
-            .saveAsTable(name)
-        )
+        data_dir = os.path.join(family_dir, f"bucketed-{token}")
+        if os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+            # complete generation written by an earlier session: register
+            # over the existing files (bucket ids ride the file names),
+            # never rewrite a dir a concurrent reader may be scanning
+            schema_ddl = spark.read.parquet(data_dir)._jdf.schema().toDDL()
+            spark.sql(
+                f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'"
+            )
+        else:
+            if os.path.isdir(data_dir):  # crashed write — no _SUCCESS
+                shutil.rmtree(data_dir, ignore_errors=True)
+            (
+                read_signature_table(spark, version_dir)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", data_dir)
+                .saveAsTable(name)
+            )
+        _gc_bucketed_generations(family_dir, f"bucketed-{token}")
     return name

@@ -159,11 +159,24 @@ def _read_written_buckets(
         return spark.read.parquet(out_dir).filter(
             F.col("part_bucket").isin(pending_ids)
         )
-    except AnalysisException:
-        # no files at all (every pending bucket held zero documents, or
-        # first run over an empty input): typed empty frame — the caller's
-        # left join + fillna(0) turns it into per-bucket done rows
-        return spark.createDataFrame([], SPANS_OUT_DDL + ", part_bucket int")
+    except AnalysisException as exc:
+        # ONLY the no-files cases (every pending bucket held zero
+        # documents, or first run over an empty input) map to a typed
+        # empty frame — the caller's left join + fillna(0) turns it into
+        # per-bucket done rows. Any other analysis failure (corrupt or
+        # foreign files in out_dir, schema-resolution errors) must
+        # propagate: swallowing it would ledger just-written buckets as
+        # done with docs=0 and real span_errors would never escalate.
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return spark.createDataFrame(
+                [], SPANS_OUT_DDL + ", part_bucket int"
+            )
+        raise
 
 
 def run_extraction_job(

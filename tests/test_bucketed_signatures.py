@@ -143,6 +143,158 @@ def test_band_pairs_bucketed_rows_and_plan(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def _chunked_corpus(tmp_path, n_parts: int):
+    """tmp corpus whose documents.parquet is a DIRECTORY of part files —
+    the shape that exercises incremental appends."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    step = tbl.num_rows // n_parts
+    corpus = tmp_path / "sf" / "documents.parquet"
+    corpus.mkdir(parents=True)
+    slices = []
+    for i in range(n_parts):
+        hi = tbl.num_rows if i == n_parts - 1 else (i + 1) * step
+        slices.append(
+            (f"part-{i:03d}.parquet", tbl.slice(i * step, hi - i * step))
+        )
+    return corpus, slices
+
+
+def test_bucketed_name_tracks_appends(spark, tmp_path, monkeypatch):
+    """An incremental append lands INSIDE the version dir without changing
+    its path — the bucketed mirror's name must still change, or the
+    tableExists fast path would keep serving rows that silently miss the
+    appended documents. The superseded generation's data dir survives one
+    cycle for readers that planned before the swap."""
+    import os
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus, slices = _chunked_corpus(tmp_path, 2)
+    pq.write_table(slices[0][1], corpus / slices[0][0])
+    sf = str(tmp_path / "sf")
+    n1 = sig.ensure_bucketed_signature_table(spark, sf, sig.WINNOW_FPS)
+    rows1 = spark.table(n1).count()
+    pq.write_table(slices[1][1], corpus / slices[1][0])
+    version_dir = sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+    assert sig._add_dir_count(version_dir) == 1  # append, not rebuild
+    n2 = n1
+    try:
+        n2 = sig.ensure_bucketed_signature_table(spark, sf, sig.WINNOW_FPS)
+        assert n2 != n1, "append must yield a new mirror generation"
+        assert not spark.catalog.tableExists(n1)
+        expect = {
+            tuple(r)
+            for r in sig.read_signature_table(spark, version_dir).collect()
+        }
+        assert {tuple(r) for r in spark.table(n2).collect()} == expect
+        assert spark.table(n2).count() > rows1
+        # predecessor generation data retained one cycle
+        fam = os.path.dirname(version_dir)
+        gens = [m for m in os.listdir(fam) if m.startswith("bucketed-")]
+        assert len(gens) == 2, gens
+    finally:
+        for t in (n1, n2):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_name_tracks_bucketing_spec(spark, tmp_path, monkeypatch):
+    """A caller asking for a different key or bucket count must get a NEW
+    table, never the old layout under the old name."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus, slices = _chunked_corpus(tmp_path, 1)
+    pq.write_table(slices[0][1], corpus / slices[0][0])
+    sf = str(tmp_path / "sf")
+    names = {
+        sig.ensure_bucketed_signature_table(spark, sf, sig.WINNOW_FPS, key="fp"),
+        sig.ensure_bucketed_signature_table(
+            spark, sf, sig.WINNOW_FPS, key="doc_id"
+        ),
+        sig.ensure_bucketed_signature_table(
+            spark, sf, sig.WINNOW_FPS, key="fp", n_buckets=4
+        ),
+    }
+    try:
+        assert len(names) == 3, names
+    finally:
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_cross_corpus_isolation(spark, tmp_path, monkeypatch):
+    """Registering one corpus's mirror must not drop another corpus's
+    live table for the same family — staleness is scoped per corpus."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    names = []
+    for sub in ("a", "b"):
+        tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        corpus = tmp_path / sub / "documents.parquet"
+        corpus.parent.mkdir(parents=True)
+        pq.write_table(tbl.slice(0, 100 if sub == "a" else 150), corpus)
+        names.append(
+            sig.ensure_bucketed_signature_table(
+                spark, str(tmp_path / sub), sig.WINNOW_FPS
+            )
+        )
+    try:
+        assert names[0] != names[1]
+        assert spark.catalog.tableExists(names[0])
+        assert spark.catalog.tableExists(names[1])
+    finally:
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_reregister_without_rewrite(spark, tmp_path, monkeypatch):
+    """A fresh session (catalog forgot the entry, files intact) must
+    re-register the existing generation via DDL — same name, zero file
+    rewrites, bucketing still honored by the planner."""
+    import os
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus, slices = _chunked_corpus(tmp_path, 1)
+    pq.write_table(slices[0][1], corpus / slices[0][0])
+    sf = str(tmp_path / "sf")
+    n1 = sig.ensure_bucketed_signature_table(spark, sf, sig.WINNOW_FPS)
+    fam = os.path.dirname(sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS))
+    gen = next(m for m in os.listdir(fam) if m.startswith("bucketed-"))
+    files_before = {
+        f: os.stat(os.path.join(fam, gen, f)).st_mtime_ns
+        for f in os.listdir(os.path.join(fam, gen))
+    }
+    rows = {tuple(r) for r in spark.table(n1).collect()}
+    # DROP TABLE on the external table forgets the entry, keeps the files
+    spark.sql(f"DROP TABLE {n1}")
+    assert os.path.isdir(os.path.join(fam, gen))
+    n2 = sig.ensure_bucketed_signature_table(spark, sf, sig.WINNOW_FPS)
+    try:
+        assert n2 == n1
+        files_after = {
+            f: os.stat(os.path.join(fam, gen, f)).st_mtime_ns
+            for f in os.listdir(os.path.join(fam, gen))
+        }
+        assert files_after == files_before, "re-register must not rewrite"
+        assert {tuple(r) for r in spark.table(n2).collect()} == rows
+        # the DDL-registered table still rides the bucketing
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(
+                spark.table(n2).groupBy("fp").count()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert len(_exchange_ids(plan)) == 0, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
+
+
 def test_jaccard_bucketed_rows_and_plan(spark):
     """d7b: the Jaccard pipeline from a doc_id-bucketed shingles mirror.
     Mixed keys mean it cannot reach one Exchange (band self-join and the

@@ -57,6 +57,22 @@ def test_no_written_dirs_yields_typed_empty_frame(spark, tmp_path):
     assert "part_bucket" in df.columns and "doc_id" in df.columns
 
 
+def test_foreign_schema_failure_propagates(spark, tmp_path):
+    """An analysis failure that is NOT the no-files case — e.g. foreign
+    parquet in out_dir whose schema lacks part_bucket — must raise, not
+    map to the typed empty frame: swallowing it would ledger just-written
+    buckets as done with docs=0 and span_errors that never escalate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors import AnalysisException
+
+    out = tmp_path / "out_foreign"
+    out.mkdir()
+    pq.write_table(pa.table({"something_else": [1, 2]}), out / "x.parquet")
+    with pytest.raises(AnalysisException):
+        _read_written_buckets(spark, str(out), [0, 1])
+
+
 def test_empty_bucket_still_gets_done_ledger_row(spark, tmp_path):
     """A bucket with no documents writes no directory but must land a
     terminal 'done' ledger row so resume never re-schedules it."""
