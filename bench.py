@@ -92,13 +92,16 @@ def bench_main() -> None:
     results["x1_extract_spans"] = round(ext_sec, 3)
     docs_per_sec = BENCH_DOCS / ext_sec
 
-    # One-time signature materialization (the registered d7/d13 read these
-    # content-keyed parquet tables instead of session-cached subtrees).
-    # Timed separately so the per-query numbers measure the steady-state
-    # scan path; ~0 when the tables already exist for this corpus.
+    # One-time signature materialization (the registered d7/d9/d13 read
+    # bucketed mirrors of these content-keyed tables instead of
+    # session-cached subtrees). Timed separately so the per-query numbers
+    # measure the steady-state scan path; ~0 when the tables already exist
+    # for this corpus.
     from deed_ocr_spark.signatures import (
+        BANDS,
         SHINGLES,
         WINNOW_FPS,
+        ensure_bucketed_signature_table,
         ensure_signature_table,
     )
 
@@ -107,6 +110,10 @@ def bench_main() -> None:
         t0 = time.time()
         ensure_signature_table(spark, SF_DIR, fam)
         sig_secs[fam] = round(time.time() - t0, 3)
+    for fam, key in ((WINNOW_FPS, "fp"), (BANDS, "band"), (SHINGLES, "doc_id")):
+        t0 = time.time()
+        ensure_bucketed_signature_table(spark, SF_DIR, fam, key=key)
+        sig_secs[f"{fam}_bucketed_{key}"] = round(time.time() - t0, 3)
 
     # Per query: COLD = best of two independent clearCache-then-run samples
     # (a single cold sample caught one-off JVM GC pauses / co-tenant

@@ -286,11 +286,12 @@ def d9_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Candidates come from d9 (LSH) so no cross join exists anywhere in the plan.
 # The shingle rows feed BOTH the signature/candidate subtree and the
 # intersection join; without reuse the full tokenize+explode pass runs
-# twice over the corpus (at 100 TB, the dominant cost). The registered
-# query routes through the materialized signature TABLE (the production
-# form, signatures.py): first call per corpus pays one tokenize pass + a
-# parquet write, every later call scans the narrow shingle table from disk
-# — deterministic cost, no session-cache residency.
+# twice over the corpus (at 100 TB, the dominant cost). This plain form
+# routes through the materialized signature TABLE (signatures.py): first
+# call per corpus pays one tokenize pass + a parquet write, every later
+# call scans the narrow shingle table from disk — deterministic cost, no
+# session-cache residency. The REGISTERED form is d7b below (same rows,
+# doc_id-bucketed mirror).
 def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deed_ocr_spark.signatures import (
         SHINGLES,
@@ -573,10 +574,11 @@ def d13_winnow_dup_pairs(
     spark: SparkSession, sf_dir: str, min_shared: int = 1, max_df: int = 64
 ) -> DataFrame:
     # the fingerprint table feeds both the df-count and the self-join —
-    # the registered query reads the materialized fingerprint TABLE
+    # this plain form reads the materialized fingerprint TABLE
     # (signatures.py): the winnowing kernel runs once per corpus (at first
     # materialization), and both consumers scan narrow parquet from disk
-    # instead of depending on session-cache residency.
+    # instead of depending on session-cache residency. The REGISTERED
+    # form is d13b below (same rows, fp-bucketed mirror).
     from deed_ocr_spark.signatures import (
         WINNOW_FPS,
         ensure_signature_table,
@@ -708,10 +710,10 @@ QUERIES = {
 
 
 # --- D13b: the bucketed-table self-join (exchange-free dedup shape) -----------
-# Unregistered (registry holds the 50-row driver cap) but pytest-covered:
-# identical rows to d13, with every fp-clustered step — distinct, df count,
-# df-cap join, self-join — running on bucket co-location instead of
-# shuffling. The only exchange left in the plan is the final
+# The REGISTERED form of d13 (same name, identical rows — identity
+# pytest-locked against the plain route above): every fp-clustered step —
+# distinct, df count, df-cap join, self-join — rides bucket co-location
+# instead of shuffling. The only exchange left in the plan is the final
 # (doc_a, doc_b) aggregation, whose key genuinely differs from fp.
 def d13b_winnow_dup_pairs_bucketed(
     spark: SparkSession,
@@ -734,8 +736,9 @@ def d13b_winnow_dup_pairs_bucketed(
 
 # --- D9b: band self-join from the bucketed bands table ------------------------
 # Same shape as d13b: the band equi-join rides bucket co-location; the only
-# exchange left is the final (doc_a, doc_b) distinct. Unregistered,
-# pytest-covered (row identity with d9 + one-Exchange plan assertion).
+# exchange left is the final (doc_a, doc_b) distinct. The REGISTERED form
+# of d9 (row identity with the plain route + one-Exchange plan assertion,
+# both pytest-locked).
 def d9b_minhash_band_pairs_bucketed(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> DataFrame:
@@ -757,7 +760,7 @@ def d9b_minhash_band_pairs_bucketed(
 # (size agg, MinHash agg, and the bucketed side of both intersection
 # joins), and a bucketBy(doc_id) shingles mirror makes each ride bucket
 # co-location. Measured at sf0.1: 0.79 s / 9 exchanges → 0.58 s / 5
-# exchanges, identical 253 pairs (BENCH.md). Unregistered, pytest-covered.
+# exchanges, identical 253 pairs (BENCH.md). The REGISTERED form of d7.
 def d7b_ngram_jaccard_pairs_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -775,3 +778,13 @@ def d7b_ngram_jaccard_pairs_bucketed(
     return ngram_jaccard_pairs_from(
         spark.table(name).select("doc_id", "sh"), threshold=threshold
     )
+
+
+# The bucketed forms are the registered implementations: same names, same
+# rows (identity pytest-locked in tests/test_bucketed_signatures.py), but
+# every fp/band/doc_id-clustered step rides bucket co-location instead of
+# shuffling the signature table. The plain forms above remain the portable
+# baselines the identity tests and the DuckDB oracles were written against.
+QUERIES["d13_winnow_dup_pairs"] = d13b_winnow_dup_pairs_bucketed
+QUERIES["d9_minhash_band_pairs"] = d9b_minhash_band_pairs_bucketed
+QUERIES["d7_ngram_jaccard_pairs"] = d7b_ngram_jaccard_pairs_bucketed

@@ -295,6 +295,29 @@ def test_bucketed_reregister_without_rewrite(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS {n2}")
 
 
+def test_registered_dedup_queries_are_bucketed_forms(spark):
+    """The registry serves the bucketed forms under the plain names (same
+    rows, fewer exchanges) — and the registered plans must scan signature
+    mirrors, never the corpus."""
+    from deed_ocr_spark.queries import QUERIES
+    from deed_ocr_spark.queries.textpipe import (
+        d7b_ngram_jaccard_pairs_bucketed,
+        d9b_minhash_band_pairs_bucketed,
+        d13b_winnow_dup_pairs_bucketed,
+    )
+
+    assert QUERIES["d13_winnow_dup_pairs"] is d13b_winnow_dup_pairs_bucketed
+    assert QUERIES["d9_minhash_band_pairs"] is d9b_minhash_band_pairs_bucketed
+    assert QUERIES["d7_ngram_jaccard_pairs"] is d7b_ngram_jaccard_pairs_bucketed
+    for name in (
+        "d13_winnow_dup_pairs",
+        "d9_minhash_band_pairs",
+        "d7_ngram_jaccard_pairs",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "documents.parquet" not in plan, (name, plan)
+
+
 def test_jaccard_bucketed_rows_and_plan(spark):
     """d7b: the Jaccard pipeline from a doc_id-bucketed shingles mirror.
     Mixed keys mean it cannot reach one Exchange (band self-join and the

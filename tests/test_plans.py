@@ -58,11 +58,13 @@ def test_lsh_pairs_plan_has_no_cartesian(spark):
 
 
 def test_d7_plan_scans_signature_table_not_corpus(spark):
-    """The registered d7 routes through the materialized shingle table
-    (signatures.py): its plan must scan signature parquet — never the
-    documents corpus (no re-tokenize), never a session-cache subtree
-    (no InMemoryTableScan — the round-3 cache-residency regression),
-    and never a cartesian product."""
+    """The plain d7 (identity baseline of registered d7b) routes through
+    the materialized shingle table (signatures.py): its plan must scan
+    signature parquet — never the documents corpus (no re-tokenize),
+    never a session-cache subtree (no InMemoryTableScan — the round-3
+    cache-residency regression), and never a cartesian product. The
+    registered bucketed form is plan-locked in
+    tests/test_bucketed_signatures.py."""
     from deed_ocr_spark.queries.textpipe import d7_ngram_jaccard_pairs
 
     df = d7_ngram_jaccard_pairs(spark, SF)
