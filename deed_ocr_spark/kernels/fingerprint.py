@@ -21,24 +21,37 @@ from typing import List, Tuple
 
 import numpy as np
 
-# Mersenne prime 2^31-1 keeps h*BASE well inside int64 (no silent numpy
-# overflow); 2^31 hash space is ample for fingerprint sets of ~10^3/doc.
-_BASE = np.int64(257)
-_MOD = np.int64((1 << 31) - 1)
+# Polynomial rolling hash mod 2^64 via native uint64 wraparound: no `%` in
+# the hot loop, and a 64-bit fingerprint space. The space matters at corpus
+# scale, not per document: an earlier 2^31-1 Mersenne variant was ample for
+# one document's ~10^2 fingerprints, but the DEDUP SELF-JOIN compares every
+# fingerprint in the corpus — at 10^5 docs (~10^7 fps) birthday collisions
+# already dominated the reported pairs (measured: 2.5k pairs where ~200
+# were planted), and at 10^9 docs the mean df per 31-bit value is ~50,
+# i.e. pure noise. 2^64 keeps expected cross-corpus collisions << 1 up to
+# ~10^9 fingerprints. Base 257 is odd (invertible mod 2^64) so every
+# character position keeps full influence; the known mod-2^64 weakness is
+# ADVERSARIAL inputs (Thue-Morse constructions), irrelevant to dedup of
+# natural text. Hash values are exposed as the int64 BIT PATTERN
+# (uint64 view) — parquet/Spark LongType carry them losslessly, and the
+# winnowing min is taken over this signed view, which is just as valid an
+# ordering for the winnowing guarantee and keeps scalar/batched/naive
+# implementations trivially consistent.
+_BASE = np.uint64(257)
 
 
 def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
-    """Rolling polynomial hashes of all k-grams (int64 array, possibly empty)."""
+    """Rolling polynomial hashes of all k-grams (int64 array — the signed
+    view of the mod-2^64 hash — possibly empty)."""
     n = len(text)
     if n < k:
         return np.empty(0, dtype=np.int64)
-    ords = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    ords = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     m = n - k + 1
-    h = np.zeros(m, dtype=np.int64)
+    h = np.zeros(m, dtype=np.uint64)
     for j in range(k):  # k vectorized passes over all positions
-        # h < 2^31 so h*257 + c < 2^39 fits int64: one mod per pass
-        h = (h * _BASE + ords[j : j + m]) % _MOD
-    return h
+        h = h * _BASE + ords[j : j + m]  # uint64 wraparound == mod 2^64
+    return h.view(np.int64)
 
 
 def winnow_arrays(text: str, k: int = 8, w: int = 4) -> Tuple[np.ndarray, np.ndarray]:
@@ -104,16 +117,17 @@ def winnow_arrays_many(
     if total == 0:
         return empty, empty, empty
     ords = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
-        np.int64
+        np.uint64
     )
     if total < k:
         m_global = 0
         h = np.empty(0, dtype=np.int64)
     else:
         m_global = total - k + 1
-        h = np.zeros(m_global, dtype=np.int64)
+        h = np.zeros(m_global, dtype=np.uint64)
         for j in range(k):  # k vectorized passes over the WHOLE batch
-            h = (h * _BASE + ords[j : j + m_global]) % _MOD
+            h = h * _BASE + ords[j : j + m_global]  # uint64 wraparound
+        h = h.view(np.int64)  # same signed ordering as kgram_hashes
 
     # per-doc k-gram counts and window counts
     m_doc = np.maximum(lens - k + 1, 0)          # valid hash positions per doc

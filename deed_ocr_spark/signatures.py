@@ -63,6 +63,14 @@ MINHASH_SIGS = "minhash_sigs"
 WINNOW_FPS = "winnow_fps"
 BANDS = "bands"
 
+# Bumped when a family's SIGNATURE ALGORITHM changes (not its inputs):
+# the version participates in the family directory name, so tables built
+# by an older kernel are simply never found again — corpus-listing
+# staleness alone cannot see a code change. v2 of winnow_fps: 64-bit
+# fingerprint hash space (kernels/fingerprint.py — the 31-bit space
+# collided at corpus scale). Families absent here are at version 1.
+FAMILY_ALGO_VERSION = {WINNOW_FPS: 2}
+
 # Default root for content-keyed signature tables (the registered d7/d13
 # route — see ensure_signature_table). User-private (~/.cache) rather than
 # /tmp: a predictable world-writable /tmp name could be pre-created by
@@ -114,11 +122,15 @@ def _secure_cache_root(path: str) -> str:
 
 def family_dir_for(key: str, family: str) -> str:
     """Family directory under the (verified) cache root, keyed by an
-    arbitrary corpus identity string."""
+    arbitrary corpus identity string plus the family's algorithm version
+    (FAMILY_ALGO_VERSION) — a kernel change must orphan old tables, not
+    serve them."""
     root = _secure_cache_root(
         os.environ.get("SPARK_GRAFT_SIG_CACHE", SIG_CACHE_ROOT)
     )
-    return os.path.join(root, hashlib.md5(key.encode()).hexdigest()[:16], family)
+    ver = FAMILY_ALGO_VERSION.get(family, 1)
+    tag = family if ver == 1 else f"{family}.a{ver}"
+    return os.path.join(root, hashlib.md5(key.encode()).hexdigest()[:16], tag)
 
 
 def _docs_parquet_path(sf_dir: str) -> str:

@@ -1,0 +1,310 @@
+"""Dedup-signature maintenance cycle at smoke scale (10^6 docs).
+
+Demonstrates — with wall-clock numbers, not just unit tests — the day-2
+story the signature tables exist for: a corpus that grows by a landed
+partition costs ONE pass over that partition, while every dedup
+maintenance query keeps reading narrow signature tables (and their
+bucketed mirrors) instead of the document text.
+
+Cycle measured:
+
+ 1. full build     — shingles + winnow_fps families over the base corpus
+ 2. bucketed mirror— fp-bucketed winnow mirror + dup-pairs query
+ 3. append         — +10% of the corpus lands as NEW parquet part files
+ 4. incremental    — ensure_signature_table processes ONLY the new parts
+ 5. fresh rebuild  — same 110% corpus built from scratch at another path
+ 6. equality       — incremental table == fresh table (count + aggregate
+                     hash over every column), dup pairs identical through
+                     both the plain and bucketed routes
+
+Corpus: deterministic synthetic (doc_id, text, lang, source, n_chars)
+rows in the shape of the driver's ``documents`` table — text is a pure
+integer-hash function of (seed, content_id, position) rendered as
+base-26 words, so any two runs produce byte-identical corpora with no
+RNG state. Docs with ``doc_id % 100 == 7`` reuse the previous doc's content
+with a one-word mutation: planted near-duplicates the winnowing pipeline
+must find (~1% of all docs ⇒ dup-pair count scales with corpus size).
+
+Run (takes a few minutes at the default 10^6):
+
+    python scripts/dedup_maintenance_smoke.py --docs 1000000
+
+Prints one JSON line with phase timings and the equality verdicts.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOC_WORDS = 48
+WORD_LEN = 8  # 8 base-26 letters per word → ~430 chars/doc
+
+
+def _texts_for(ids: np.ndarray, seed: int) -> list:
+    """Deterministic text per doc id — vectorized integer hashing, no RNG.
+
+    Each word is WORD_LEN base-26 letters carved out of a splitmix64-style
+    avalanche of (seed, content_id, position), so the 8-char k-gram space
+    the winnowing fingerprints draw from is effectively uniform over 26^8
+    (~2*10^11): at 10^6-doc scale the expected count of COINCIDENTALLY
+    shared fingerprints across the corpus is <<1, and the dup pairs the
+    pipeline reports are exactly the planted twins. (Earlier drafts used a
+    small word vocabulary; its repeated word-adjacency k-grams made chance
+    pairs grow quadratically with corpus size — measured, hence this
+    shape. Realistic high-df boilerplate and the df-cap behavior it
+    exercises are covered by the textpipe unit tests; this smoke isolates
+    MAINTENANCE cost and correctness.)
+
+    content_id collapses each ``% 100 == 7`` doc onto its predecessor, so
+    the pair shares all words; the twin then gets its last word replaced —
+    a near-dup with one long verbatim overlap, which winnowing must recall
+    per its k+w-1 contract."""
+    is_twin = (ids % 100) == 7
+    content = ids - is_twin.astype(np.int64)
+    pos = np.arange(DOC_WORDS, dtype=np.uint64)
+    # splitmix64-ish avalanche over (seed, content_id, position)
+    x = (
+        content.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+        + pos[None, :] * np.uint64(0xBF58476D1CE4E5B9)
+        + np.uint64(seed)
+    )
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    # twins differ from their base in the LAST word only
+    x[is_twin, -1] ^= np.uint64(0xDEADBEEFCAFEF00D)
+    # (n_docs, DOC_WORDS, WORD_LEN+1) ascii buffer: letters + separators
+    n = len(ids)
+    buf = np.empty((n, DOC_WORDS, WORD_LEN + 1), dtype=np.uint8)
+    buf[:, :, WORD_LEN] = 0x20  # space after every word
+    v = x.copy()
+    for j in range(WORD_LEN):
+        buf[:, :, j] = (v % np.uint64(26)).astype(np.uint8) + 0x61
+        v //= np.uint64(26)
+    flat = buf.reshape(n, -1)[:, :-1]  # drop the trailing space
+    return [row.tobytes().decode("ascii") for row in flat]
+
+
+def write_corpus(spark, path: str, lo: int, hi: int, parts: int, seed: int,
+                 mode: str) -> None:
+    """Land docs [lo, hi) as ``parts`` parquet files under
+    <path>/documents.parquet. mode='append' adds NEW part files — the
+    landed-partition shape incremental maintenance keys on."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy()
+            texts = _texts_for(ids, seed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": np.where(ids % 17 == 0, "es", "en"),
+                    "source": np.where(ids % 3 == 0, "county", "scan"),
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    df = (
+        spark.range(lo, hi)
+        .repartition(parts)
+        .mapInPandas(
+            gen,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+    )
+    df.write.mode(mode).parquet(os.path.join(path, "documents.parquet"))
+
+
+def _table_digest(spark, version_dir: str):
+    """(row_count, order-independent aggregate hash over every column)."""
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.signatures import read_signature_table
+
+    df = read_signature_table(spark, version_dir)
+    df = df.withColumn(
+        "__rh", F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(__rh)").alias("h"),
+    ).collect()[0]
+    return int(agg["n"]), int(agg["h"])
+
+
+def _pairs_digest(spark, pairs_df):
+    from pyspark.sql import functions as F
+
+    pairs_df = pairs_df.withColumn(
+        "__rh",
+        F.xxhash64(*[F.col(c) for c in sorted(c for c in pairs_df.columns)]),
+    )
+    agg = pairs_df.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__rh)").alias("h")
+    ).collect()[0]
+    return int(agg["n"]), int(agg["h"])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=1_000_000)
+    p.add_argument("--append-frac", type=float, default=0.10)
+    p.add_argument("--parts", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--work", default="/tmp/dedup_maint_smoke")
+    p.add_argument("--cpus", type=int, default=0)
+    p.add_argument("--keep", action="store_true",
+                   help="keep the work dir (default: removed at exit)")
+    args = p.parse_args(argv)
+
+    cpus = args.cpus or len(os.sched_getaffinity(0))
+    shutil.rmtree(args.work, ignore_errors=True)
+    os.makedirs(args.work)
+    # signature families for the smoke corpora live (and die) with the
+    # work dir — never in the user's real ~/.cache
+    os.environ["SPARK_GRAFT_SIG_CACHE"] = os.path.join(args.work, "sigcache")
+
+    from pyspark.sql import SparkSession
+
+    from deed_ocr_spark.signatures import (
+        SHINGLES,
+        WINNOW_FPS,
+        ensure_bucketed_signature_table,
+        ensure_signature_table,
+        read_signature_table,
+        winnow_dup_pairs_from,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dedup-maintenance-smoke")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n, n_app = args.docs, int(args.docs * args.append_frac)
+    base_dir = os.path.join(args.work, "corpus")
+    ref_dir = os.path.join(args.work, "corpus-ref")
+    out = {"docs": n, "append_docs": n_app, "cpus": cpus}
+
+    t0 = time.monotonic()
+    write_corpus(spark, base_dir, 0, n, args.parts, args.seed, "overwrite")
+    out["gen_base_sec"] = round(time.monotonic() - t0, 2)
+
+    # 1. full build over the base corpus
+    t0 = time.monotonic()
+    ensure_signature_table(spark, base_dir, SHINGLES)
+    out["full_shingles_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    ver_base = ensure_signature_table(spark, base_dir, WINNOW_FPS)
+    out["full_winnow_sec"] = round(time.monotonic() - t0, 2)
+
+    # 2. bucketed mirror + dup pairs (the maintenance query itself)
+    t0 = time.monotonic()
+    name = ensure_bucketed_signature_table(
+        spark, base_dir, WINNOW_FPS, key="fp", n_buckets=cpus
+    )
+    out["bucketed_mirror_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_pairs_b, h_pairs_b = _pairs_digest(
+        spark, winnow_dup_pairs_from(spark.table(name).select("doc_id", "fp"))
+    )
+    out["pairs_bucketed_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_pairs_p, h_pairs_p = _pairs_digest(
+        spark,
+        winnow_dup_pairs_from(
+            read_signature_table(spark, ver_base).select("doc_id", "fp")
+        ),
+    )
+    out["pairs_plain_sec"] = round(time.monotonic() - t0, 2)
+    out["pairs_base"] = n_pairs_p
+    # with 64-bit fingerprints and the 26^8 k-gram space, the reported
+    # pairs must be EXACTLY the planted twins — nothing else shares a
+    # >=k+w-1 substring, and chance fp collisions are <<1 at this scale
+    out["pairs_base_expected"] = len(range(7, n, 100))
+    out["pairs_routes_identical"] = (n_pairs_b, h_pairs_b) == (
+        n_pairs_p,
+        h_pairs_p,
+    )
+
+    # 3. a day's partition lands: +10% as NEW part files
+    t0 = time.monotonic()
+    write_corpus(
+        spark, base_dir, n, n + n_app,
+        max(1, int(args.parts * args.append_frac)), args.seed, "append",
+    )
+    out["gen_append_sec"] = round(time.monotonic() - t0, 2)
+
+    # 4. incremental maintenance: one pass over the new parts only
+    t0 = time.monotonic()
+    ensure_signature_table(spark, base_dir, SHINGLES)
+    out["incr_shingles_sec"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    ver_incr = ensure_signature_table(spark, base_dir, WINNOW_FPS)
+    out["incr_winnow_sec"] = round(time.monotonic() - t0, 2)
+    out["incr_over_full"] = round(
+        (out["incr_shingles_sec"] + out["incr_winnow_sec"])
+        / max(out["full_shingles_sec"] + out["full_winnow_sec"], 1e-9),
+        3,
+    )
+
+    # 5. fresh 110% rebuild at a different corpus path
+    write_corpus(spark, ref_dir, 0, n + n_app, args.parts + max(
+        1, int(args.parts * args.append_frac)), args.seed, "overwrite")
+    t0 = time.monotonic()
+    ver_ref = ensure_signature_table(spark, ref_dir, WINNOW_FPS)
+    out["fresh_winnow_sec"] = round(time.monotonic() - t0, 2)
+
+    # 6. equality: incremental == fresh, table rows and dup pairs
+    out["winnow_digest_incr"] = _table_digest(spark, ver_incr)
+    out["winnow_digest_fresh"] = _table_digest(spark, ver_ref)
+    out["table_identical"] = (
+        out["winnow_digest_incr"] == out["winnow_digest_fresh"]
+    )
+    d_incr = _pairs_digest(
+        spark,
+        winnow_dup_pairs_from(
+            read_signature_table(spark, ver_incr).select("doc_id", "fp")
+        ),
+    )
+    d_ref = _pairs_digest(
+        spark,
+        winnow_dup_pairs_from(
+            read_signature_table(spark, ver_ref).select("doc_id", "fp")
+        ),
+    )
+    out["pairs_after_append"] = d_incr[0]
+    out["pairs_after_expected"] = len(range(7, n + n_app, 100))
+    out["pairs_identical"] = d_incr == d_ref
+
+    ok = (
+        out["table_identical"]
+        and out["pairs_identical"]
+        and out["pairs_routes_identical"]
+        and out["pairs_base"] == out["pairs_base_expected"]
+        and out["pairs_after_append"] == out["pairs_after_expected"]
+    )
+    out["ok"] = ok
+    print(json.dumps(out))
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(args.work, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

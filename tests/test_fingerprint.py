@@ -14,8 +14,9 @@ def _naive(text, k=8, w=4):
     for i in range(n - k + 1):
         h = 0
         for ch in text[i : i + k]:
-            h = (h * 257 + ord(ch)) % ((1 << 31) - 1)
-        hs.append(h)
+            h = (h * 257 + ord(ch)) % (1 << 64)  # mod-2^64 rolling hash
+        # the kernel stores (and orders by) the SIGNED int64 bit pattern
+        hs.append(h - (1 << 64) if h >= (1 << 63) else h)
     if len(hs) <= w:
         mn = min(hs)
         pos = max(i for i, v in enumerate(hs) if v == mn)
