@@ -25,9 +25,9 @@ import numpy as np
 # the hot loop, and a 64-bit fingerprint space. The space matters at corpus
 # scale, not per document: an earlier 2^31-1 Mersenne variant was ample for
 # one document's ~10^2 fingerprints, but the DEDUP SELF-JOIN compares every
-# fingerprint in the corpus — at 10^5 docs (~10^7 fps) birthday collisions
-# already dominated the reported pairs (measured: 2.5k pairs where ~200
-# were planted), and at 10^9 docs the mean df per 31-bit value is ~50,
+# fingerprint in the corpus — at just 2*10^4 docs (~2*10^6 fps) birthday
+# collisions already dominated the reported pairs (measured: 2.5k pairs
+# where 200 were planted), and at 10^9 docs the mean df per 31-bit value is ~50,
 # i.e. pure noise. 2^64 keeps expected cross-corpus collisions << 1 up to
 # ~10^9 fingerprints. Base 257 is odd (invertible mod 2^64) so every
 # character position keeps full influence; the known mod-2^64 weakness is

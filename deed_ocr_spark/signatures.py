@@ -137,6 +137,35 @@ def _docs_parquet_path(sf_dir: str) -> str:
     return os.path.join(os.path.realpath(sf_dir), "documents.parquet")
 
 
+def _gc_stale_algo_versions(family_dir: str, family: str) -> None:
+    """Reclaim sibling family dirs built by an OLDER algo version of the
+    same family under the same corpus key — a full signature-table copy
+    (plus retained versions and bucketed mirrors) that nothing will ever
+    resolve again once FAMILY_ALGO_VERSION moved past it. Best-effort and
+    cheap (one listdir; no-op when no stale dir exists). Caveat: during a
+    rolling upgrade a process still running the OLD code could be reading
+    the dir being reclaimed — acceptable for a cache (it rebuilds), and
+    single-process in this sandbox."""
+    cur_ver = FAMILY_ALGO_VERSION.get(family, 1)
+    parent = os.path.dirname(family_dir)
+    try:
+        names = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for n in names:
+        if n == family:
+            ver = 1
+        elif n.startswith(f"{family}.a"):
+            try:
+                ver = int(n[len(family) + 2 :])
+            except ValueError:
+                continue
+        else:
+            continue
+        if ver < cur_ver:
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+
+
 def _corpus_listing(sf_dir: str) -> dict:
     """{part_name: "size:mtime_ns"} of the documents parquet — the change
     detector AND the incremental unit. On an Iceberg catalog this would be
@@ -668,6 +697,7 @@ def ensure_signature_table(
     docs_path = _docs_parquet_path(sf_dir)
     listing = _corpus_listing(sf_dir)
     family_dir = family_dir_for(docs_path, family)
+    _gc_stale_algo_versions(family_dir, family)
 
     def build(parts: List[str]) -> DataFrame:
         if os.path.isdir(docs_path):

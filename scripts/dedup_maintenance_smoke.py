@@ -53,11 +53,13 @@ def _texts_for(ids: np.ndarray, seed: int) -> list:
     """Deterministic text per doc id — vectorized integer hashing, no RNG.
 
     Each word is WORD_LEN base-26 letters carved out of a splitmix64-style
-    avalanche of (seed, content_id, position), so the 8-char k-gram space
-    the winnowing fingerprints draw from is effectively uniform over 26^8
-    (~2*10^11): at 10^6-doc scale the expected count of COINCIDENTALLY
-    shared fingerprints across the corpus is <<1, and the dup pairs the
-    pipeline reports are exactly the planted twins. (Earlier drafts used a
+    avalanche of (seed, content_id, position), so every 8-char word is
+    effectively uniform over 26^8 (~2*10^11) — and the 16-char k-grams the
+    winnowing pipeline actually hashes (k=16 spans parts of two adjacent
+    words plus the separator) are drawn from a strictly larger space: at
+    10^6-doc scale the expected count of COINCIDENTALLY shared k-grams
+    across the corpus is <<1, and (with the 64-bit fingerprint hash) the
+    dup pairs the pipeline reports are exactly the planted twins. (Earlier drafts used a
     small word vocabulary; its repeated word-adjacency k-grams made chance
     pairs grow quadratically with corpus size — measured, hence this
     shape. Realistic high-df boilerplate and the df-cap behavior it
@@ -126,13 +128,11 @@ def write_corpus(spark, path: str, lo: int, hi: int, parts: int, seed: int,
     df.write.mode(mode).parquet(os.path.join(path, "documents.parquet"))
 
 
-def _table_digest(spark, version_dir: str):
-    """(row_count, order-independent aggregate hash over every column)."""
+def _digest(df):
+    """(row_count, order-independent aggregate hash over every column).
+    Empty frames digest to (0, 0) — bit_xor over zero rows is NULL."""
     from pyspark.sql import functions as F
 
-    from deed_ocr_spark.signatures import read_signature_table
-
-    df = read_signature_table(spark, version_dir)
     df = df.withColumn(
         "__rh", F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
     )
@@ -140,20 +140,17 @@ def _table_digest(spark, version_dir: str):
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(__rh)").alias("h"),
     ).collect()[0]
-    return int(agg["n"]), int(agg["h"])
+    return int(agg["n"]), int(agg["h"]) if agg["h"] is not None else 0
+
+
+def _table_digest(spark, version_dir: str):
+    from deed_ocr_spark.signatures import read_signature_table
+
+    return _digest(read_signature_table(spark, version_dir))
 
 
 def _pairs_digest(spark, pairs_df):
-    from pyspark.sql import functions as F
-
-    pairs_df = pairs_df.withColumn(
-        "__rh",
-        F.xxhash64(*[F.col(c) for c in sorted(c for c in pairs_df.columns)]),
-    )
-    agg = pairs_df.agg(
-        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(__rh)").alias("h")
-    ).collect()[0]
-    return int(agg["n"]), int(agg["h"])
+    return _digest(pairs_df)
 
 
 def main(argv=None):

@@ -196,6 +196,33 @@ def test_auto_compaction_after_accumulated_appends(spark, tmp_path, monkeypatch)
     }
 
 
+def test_algo_version_bump_orphans_and_reclaims_old_family(
+    spark, tmp_path, monkeypatch
+):
+    """A FAMILY_ALGO_VERSION bump must (a) resolve to a NEW family dir —
+    tables built by the old kernel are never served — and (b) reclaim the
+    old dir (a full signature-table copy, plus any bucketed mirrors under
+    it) at the next ensure call, not leak it forever."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus, slices = _chunked_corpus(tmp_path, 1)
+    pq.write_table(slices[0][1], corpus / slices[0][0])
+    p1 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    old_fam = os.path.dirname(p1)
+    assert old_fam.endswith(sig.SHINGLES)  # version 1 → bare family name
+
+    monkeypatch.setitem(sig.FAMILY_ALGO_VERSION, sig.SHINGLES, 2)
+    p2 = sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES)
+    assert os.path.dirname(p2).endswith(f"{sig.SHINGLES}.a2")
+    assert not os.path.exists(old_fam), "v1 family dir reclaimed"
+    # same corpus, same rows — only the cache location moved
+    assert sig.read_signature_table(spark, p2).count() > 0
+    # current version is stable across calls and never self-GCs
+    assert sig.ensure_signature_table(spark, str(tmp_path / "sf"), sig.SHINGLES) == p2
+    assert os.path.isdir(p2)
+
+
 # --- durable media family (m1's table) -----------------------------------------
 def test_media_table_matches_inline_pipeline(spark, tmp_path, monkeypatch):
     from deed_ocr_spark.corpus import corpus_df
