@@ -1,0 +1,156 @@
+"""Distributed connected components over duplicate-pair edges.
+
+The dedup family emits PAIRS (d7 Jaccard, d9 LSH bands, d13 winnowing);
+canonical corpus dedup needs their TRANSITIVE CLOSURE: near-dup is not
+transitive, but a keep-one-per-cluster policy must treat A~B, B~C as one
+cluster {A,B,C} or the keep-list double-keeps content (the greedy
+drop-every-doc_b policy of d14 keeps every LOCAL-minimum doc — e.g.
+edges B-C and A-C with A<B<C keep both A and B).
+
+Algorithm: the alternating large-star / small-star method of Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond" (SoCC 2014 — public paper). Both operations are
+pure relational steps (symmetrize -> per-node min -> equi-join), each
+round is two shuffles keyed on node id, the edge multiset shrinks
+monotonically toward a star forest, and convergence takes O(log^2 n)
+rounds on adversarial graphs (in practice a handful: near-dup clusters
+are shallow). Nothing here collects edges to the driver — the loop's
+only driver-side values are one (count, hash) scalar pair per round for
+the fixpoint test, exactly the control-plane shape a 10^12-doc run
+needs. Compare GraphFrames' connectedComponents, which implements the
+same family of algorithms on top of the same DataFrame operations.
+
+Engine addition beyond the reference (its similarity self-dedup,
+extractors/llm.py:195-217, dedups WITHIN one document's candidate list;
+corpus-level clustering has no analog there). Tested against a Python
+union-find oracle on adversarial graphs (chains, stars, cliques, random)
+in tests/test_components.py; unregistered (50-row driver registry cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Far above the O(log^2 n) bound for any feasible corpus (n = 10^12 =>
+# log2(n) ~ 40); hitting it means a bug, not a big graph — so raise.
+MAX_ROUNDS = 64
+
+
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (u, v), self-loops dropped."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For every node u: attach each STRICTLY LARGER neighbor to
+    m = min(neighborhood(u) + {u}). Keeps connectivity, only ever lowers
+    labels (Kiveris et al. Thm 1)."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """For every node u: attach u and each SMALLER neighbor to the
+    minimum of those smaller neighbors."""
+    smaller = sym.filter(F.col("v") < F.col("u"))
+    mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        smaller.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        moved.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _digest(e: DataFrame):
+    """(edge_count, order-free hash) — the per-round fixpoint scalar."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"]) if row["h"] is not None else 0
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component) for every node appearing in ``pairs``; the
+    component label is the smallest doc_id in the component.
+
+    Iterates large-star / small-star to a fixpoint. Each round
+    materializes its edge frame with ``localCheckpoint`` — iterative
+    DataFrame algorithms otherwise stack O(rounds) of lineage, and the
+    planner re-derives the whole chain every action (on a cluster with a
+    configured checkpoint dir, ``checkpoint`` is the fault-tolerant
+    drop-in; GraphFrames does the same every few rounds)."""
+    nodes = _symmetrize(_canonical_edges(pairs, src, dst)).select(
+        F.col("u").alias("doc_id")
+    ).distinct()
+
+    e = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(MAX_ROUNDS):
+        e_next = _small_star(_symmetrize(_large_star(_symmetrize(e)))
+                             ).localCheckpoint(eager=True)
+        cur = _digest(e_next)
+        e = e_next
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} rounds"
+        )
+
+    # fixpoint edge set is a star forest: (member, center) with center =
+    # component min; centers (and only they) are absent from the child side
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    centers = nodes.join(
+        members.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
+    return members.union(centers)
+
+
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters of the corpus: connected components over the
+    winnowing dup pairs (d13's output — already df-capped and bucketed)."""
+    from deed_ocr_spark.queries.textpipe import d13_winnow_dup_pairs
+
+    return connected_components(d13_winnow_dup_pairs(spark, sf_dir))
+
+
+def canonical_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keeper per duplicate CLUSTER (the transitive-closure upgrade of
+    d14's greedy pair policy): every doc outside any dup pair keeps
+    itself; inside a cluster only the smallest doc_id survives.
+
+    Chaining caveat (inherent to transitive closure, not this operator):
+    near-dup is not transitive, so pairwise-similar TEMPLATES chain —
+    on the synthetic sf0.01 corpus d13's default min_shared=1 pairs
+    connect 498/500 docs into one cluster. A production curation run
+    tightens the pair predicate (min_shared, Jaccard threshold) or
+    re-verifies within oversized clusters before dropping; the operator
+    clusters whatever pair frame it is given."""
+    from deed_ocr_spark.queries.common import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    comp = dup_components(spark, sf_dir)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(dropped, "doc_id", "left_anti")

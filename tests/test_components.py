@@ -1,0 +1,131 @@
+"""Connected-components operator vs a Python union-find oracle, plus the
+canonical (transitive-closure) keep-list semantics it enables."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from deed_ocr_spark.queries.components import (
+    canonical_keeplist,
+    connected_components,
+    dup_components,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _union_find(edges):
+    """Oracle: {node: component-min} via path-compressed union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    out = connected_components(df)
+    return {r["doc_id"]: r["component"] for r in out.collect()}
+
+
+def test_components_small_shapes(spark):
+    # two chains, a star, a triangle, an isolated pair — in one graph
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> {1,2,3,4}
+        (10, 11), (10, 12), (10, 13),    # star centered high -> min 10
+        (20, 21), (21, 22), (20, 22),    # triangle
+        (30, 31),                        # pair
+        (41, 40),                        # reversed pair
+    ]
+    assert _run(spark, edges) == _union_find(edges)
+
+
+def test_components_local_minimum_bridges(spark):
+    """The case greedy drop-doc_b gets wrong: B-C and A-C with A<B<C is
+    ONE cluster; B is a local minimum but not the component min."""
+    edges = [(2, 3), (1, 3)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1} == _union_find(edges)
+
+
+def test_components_long_chain_converges(spark):
+    """512-node chain: the adversarial depth case for label propagation;
+    the alternating algorithm must converge well under MAX_ROUNDS."""
+    edges = [(i, i + 1) for i in range(511)]
+    got = _run(spark, edges)
+    assert got == {n: 0 for n in range(512)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 200, 150), (8, 300, 420)])
+def test_components_random_graphs_match_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run(spark, edges) == _union_find(edges)
+
+
+def test_components_string_ids(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES ('b','c'), ('a','c'), ('x','y') AS t(doc_a, doc_b)"
+    )
+    out = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_components_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a bigint, doc_b bigint")
+    out = connected_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_components_match_driver_pairs_oracle(spark):
+    """Corpus-scale check at sf0.001: components over d13's actual pairs
+    equal union-find of those same pairs."""
+    from deed_ocr_spark.queries.textpipe import d13_winnow_dup_pairs
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in d13_winnow_dup_pairs(spark, SF).collect()
+    ]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dup_components(spark, SF).collect()
+    }
+    assert got == _union_find(pairs)
+    assert len(got) > 0, "sf0.001 corpus must contain at least one dup pair"
+
+
+def test_canonical_keeplist_keeps_one_per_cluster(spark):
+    from deed_ocr_spark.queries.common import t
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dup_components(spark, SF).collect()
+    }
+    all_docs = {
+        r["doc_id"] for r in t(spark, SF, "documents").select("doc_id").collect()
+    }
+    keep = {r["doc_id"] for r in canonical_keeplist(spark, SF).collect()}
+    # exactly: docs outside any pair, plus each cluster's minimum
+    expected = (all_docs - set(comp)) | {
+        m for m in comp.values()
+    }
+    assert keep == expected
+    # and every cluster contributes exactly its representative
+    for doc, m in comp.items():
+        assert (doc in keep) == (doc == m)
