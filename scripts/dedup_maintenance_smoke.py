@@ -16,6 +16,8 @@ Cycle measured:
  6. equality       — incremental table == fresh table (count + aggregate
                      hash over every column), dup pairs identical through
                      both the plain and bucketed routes
+ 7. clusters       — connected components over the pairs; planted twins
+                     are disjoint, so expected clusters are exact
 
 Corpus: deterministic synthetic (doc_id, text, lang, source, n_chars)
 rows in the shape of the driver's ``documents`` table — text is a pure
@@ -288,12 +290,43 @@ def main(argv=None):
     out["pairs_after_expected"] = len(range(7, n + n_app, 100))
     out["pairs_identical"] = d_incr == d_ref
 
+    # 7. duplicate clusters: transitive closure over the pairs. Planted
+    # twins are disjoint {i-1, i} pairs, so the expected answer is exact:
+    # one 2-doc cluster per pair, component min == the base doc id.
+    from pyspark.sql import functions as F
+
+    from deed_ocr_spark.queries.components import connected_components
+
+    t0 = time.monotonic()
+    comp = connected_components(
+        winnow_dup_pairs_from(
+            read_signature_table(spark, ver_incr).select("doc_id", "fp")
+        )
+    )
+    agg = comp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("component").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("component") == F.col("doc_id") - 1, 1)
+            .when(F.col("component") == F.col("doc_id"), 1)
+            .otherwise(0)
+        ).alias("n_wellformed"),
+    ).collect()[0]
+    out["components_sec"] = round(time.monotonic() - t0, 2)
+    out["clusters"] = int(agg["n_clusters"])
+    out["clusters_ok"] = (
+        int(agg["n_clusters"]) == out["pairs_after_expected"]
+        and int(agg["n_docs"]) == 2 * out["pairs_after_expected"]
+        and int(agg["n_wellformed"]) == int(agg["n_docs"])
+    )
+
     ok = (
         out["table_identical"]
         and out["pairs_identical"]
         and out["pairs_routes_identical"]
         and out["pairs_base"] == out["pairs_base_expected"]
         and out["pairs_after_append"] == out["pairs_after_expected"]
+        and out["clusters_ok"]
     )
     out["ok"] = ok
     print(json.dumps(out))
