@@ -89,7 +89,8 @@ def _digest(e: DataFrame):
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    stats: dict | None = None
 ) -> DataFrame:
     """(doc_id, component) for every node appearing in ``pairs``; the
     component label is the smallest doc_id in the component.
@@ -99,14 +100,17 @@ def connected_components(
     DataFrame algorithms otherwise stack O(rounds) of lineage, and the
     planner re-derives the whole chain every action (on a cluster with a
     configured checkpoint dir, ``checkpoint`` is the fault-tolerant
-    drop-in; GraphFrames does the same every few rounds)."""
+    drop-in; GraphFrames does the same every few rounds).
+
+    Pass a dict as ``stats`` to receive {"rounds": int} for convergence
+    telemetry (the scale smoke records it)."""
     nodes = _symmetrize(_canonical_edges(pairs, src, dst)).select(
         F.col("u").alias("doc_id")
     ).distinct()
 
     e = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
     prev = None
-    for _ in range(MAX_ROUNDS):
+    for rounds in range(1, MAX_ROUNDS + 1):
         e_next = _small_star(_symmetrize(_large_star(_symmetrize(e)))
                              ).localCheckpoint(eager=True)
         cur = _digest(e_next)
@@ -118,6 +122,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {MAX_ROUNDS} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # fixpoint edge set is a star forest: (member, center) with center =
     # component min; centers (and only they) are absent from the child side
