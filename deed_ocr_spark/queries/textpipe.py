@@ -590,6 +590,83 @@ def d13_winnow_dup_pairs(
     return winnow_dup_pairs_from(fps, min_shared=min_shared, max_df=max_df)
 
 
+def _pairs_over(rows: DataFrame, fp_keep: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any fingerprint from the
+    ``fp_keep`` set, over the given (doc_id, fp) rows."""
+    capped = rows.join(fp_keep, "fp")
+    a = capped.withColumnRenamed("doc_id", "doc_a")
+    b = capped.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def winnow_pair_delta(
+    old_fps: DataFrame, new_fps: DataFrame, max_df: int = 64
+):
+    """Incremental maintenance of the dup-PAIR SET (min_shared=1) when
+    ``new_fps`` (fingerprints of newly-landed documents) arrive beside
+    ``old_fps``: returns ``(added, retracted)`` DataFrames of
+    (doc_a, doc_b) such that
+
+        pairs(old + new)  ==  pairs(old)  ∪ added  −  retracted
+
+    (property-tested). The day-2 economics this buys at corpus scale:
+    ``added`` joins the SMALL new side against the table (|new| × corpus
+    instead of corpus × corpus), and ``retracted`` — pairs that lose
+    their support because a fingerprint's document frequency crossed the
+    ``max_df`` boilerplate cap when the new docs landed — is provably
+    confined to pairs among the docs carrying a CROSSING fingerprint:
+    a crossing fp had df ≤ max_df before, so the affected-doc set is at
+    most max_df per crossing fp, and a pair with one endpoint outside it
+    cannot have been supported by a crossing fp (both endpoints of a
+    supporting fp carry it). Bounded work: O(max_df² · crossing fps).
+
+    Maintains pair EXISTENCE, not shared_fps counts (counts of surviving
+    pairs can drop when one of several shared fps crosses the cap —
+    maintaining them needs per-pair support deltas, which is the full
+    recompute in disguise). Compare Iceberg's incremental read between
+    snapshots: the caller obtains old/new row provenance from the
+    signature table's add-dirs (signatures.winnow_dup_pairs_delta)."""
+    old = old_fps.select("doc_id", "fp").distinct()
+    new = new_fps.select("doc_id", "fp").distinct()
+    full = old.unionByName(new)
+    df_full = full.groupBy("fp").agg(F.count(F.lit(1)).alias("dff"))
+    df_old = old.groupBy("fp").agg(F.count(F.lit(1)).alias("dfo"))
+    under_full = df_full.filter(F.col("dff") <= max_df).select("fp")
+
+    # added: (new × all) over under-cap fps, canonicalized — one side is
+    # always a new doc, so no pre-existing pair can appear
+    a = new.join(under_full, "fp").withColumnRenamed("doc_id", "doc_a")
+    b = full.join(under_full, "fp").withColumnRenamed("doc_id", "doc_b")
+    added = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # retracted: confined to docs carrying a fp that CROSSED the cap
+    crossing = (
+        df_full.join(df_old, "fp")
+        .filter((F.col("dfo") <= max_df) & (F.col("dff") > max_df))
+        .select("fp")
+    )
+    affected = old.join(crossing, "fp", "semi").select("doc_id").distinct()
+    d_rows = old.join(affected, "doc_id", "semi")
+    under_old = df_old.filter(F.col("dfo") <= max_df).select("fp")
+    before = _pairs_over(d_rows, under_old)
+    after = _pairs_over(d_rows, under_full)
+    retracted = before.exceptAll(after).distinct()
+    return added, retracted
+
+
 # --- D10: production-path MinHash (rows-only) --------------------------------
 # The oracle-backed d8/d9 use md5 strings for DuckDB portability; at scale
 # the signature should be 64-bit ints through xxhash64 (hash-aggregable

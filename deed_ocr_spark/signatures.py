@@ -47,6 +47,7 @@ from contextlib import contextmanager
 from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from deed_ocr_spark.queries.textpipe import (
     _band_rows,
@@ -708,6 +709,94 @@ def ensure_signature_table(
         return _family_df_of(docs, family)
 
     return ensure_table(spark, family_dir, listing, build)
+
+
+def processed_parts(spark: SparkSession, sf_dir: str, family: str) -> dict:
+    """Snapshot of the family table's processed corpus parts
+    ({part_name: fingerprint}) AFTER bringing the table current — the
+    "as-of" handle callers keep to later ask for a delta
+    (winnow_dup_pairs_delta). The filesystem stand-in for an Iceberg
+    snapshot id."""
+    ver = ensure_signature_table(spark, sf_dir, family)
+    return dict(_processed_parts(ver, _read_manifest(ver)))
+
+
+def _version_base_paths(version_dir: str):
+    """(base_paths, add_dirs): the version's root parquet files (the full
+    build / last compaction) and its committed add-* dirs with their part
+    records."""
+    base, adds = [], []
+    for name in sorted(os.listdir(version_dir)):
+        p = os.path.join(version_dir, name)
+        if name.startswith("add-") and os.path.isdir(p):
+            try:
+                with open(os.path.join(p, "_parts.json")) as f:
+                    adds.append((p, dict(json.load(f))))
+            except (OSError, ValueError):  # torn add dir — invisible rows
+                continue
+        elif name.endswith(".parquet") and not name.startswith(("_", ".")):
+            base.append(p)
+    return base, adds
+
+
+def winnow_dup_pairs_delta(
+    spark: SparkSession, sf_dir: str, since: dict, max_df: int = 64
+):
+    """(added, retracted) dup-pair delta since the ``since`` snapshot
+    (from :func:`processed_parts`): the incremental form of d13's pair
+    set. New corpus parts landed after the snapshot are located via the
+    signature table's add-* dirs (row provenance), so the expensive side
+    of the join is |new docs| × corpus, never corpus × corpus; see
+    queries.textpipe.winnow_pair_delta for the df-cap retraction
+    semantics and the equality contract.
+
+    Raises ValueError when provenance is insufficient — an old part was
+    rewritten (fingerprint mismatch ⇒ the table was REBUILT and rows
+    re-derived) or compaction folded the post-snapshot appends into the
+    base — in which case the caller runs the full query. An Iceberg
+    catalog would serve the same split from its incremental snapshot
+    scan; the fallback rule is identical there (changed/compacted files
+    void incremental reads)."""
+    from deed_ocr_spark.queries.textpipe import winnow_pair_delta
+
+    ver = ensure_signature_table(spark, sf_dir, WINNOW_FPS)
+    processed = _processed_parts(ver, _read_manifest(ver))
+    stale = {k: v for k, v in since.items() if processed.get(k) != v}
+    if stale:
+        raise ValueError(
+            f"snapshot parts changed or vanished since the snapshot "
+            f"({sorted(stale)[:3]}...): the table was rebuilt — run the "
+            "full winnow_dup_pairs query instead"
+        )
+    new_parts = {k for k in processed if k not in since}
+    base, adds = _version_base_paths(ver)
+    new_dirs, covered = [], set()
+    for p, rec in adds:
+        if set(rec) <= new_parts:
+            new_dirs.append(p)
+            covered |= set(rec)
+    if covered != new_parts:
+        raise ValueError(
+            "row provenance for the new parts was folded away "
+            "(compaction since the snapshot) — run the full query"
+        )
+    if not new_dirs:
+        empty = (
+            read_signature_table(spark, ver)
+            .select(
+                F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+            .limit(0)
+        )
+        return empty, empty
+    old_paths = base + [p for p in (p for p, _ in adds) if p not in new_dirs]
+    old_rows = (
+        spark.read.parquet(*old_paths).select("doc_id", "fp")
+        if old_paths
+        else spark.read.parquet(*new_dirs).select("doc_id", "fp").limit(0)
+    )
+    new_rows = spark.read.parquet(*new_dirs).select("doc_id", "fp")
+    return winnow_pair_delta(old_rows, new_rows, max_df=max_df)
 
 
 def materialize_signatures(

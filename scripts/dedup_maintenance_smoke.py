@@ -11,7 +11,10 @@ Cycle measured:
  1. full build     — shingles + winnow_fps families over the base corpus
  2. bucketed mirror— fp-bucketed winnow mirror + dup-pairs query
  3. append         — +10% of the corpus lands as NEW parquet part files
- 4. incremental    — ensure_signature_table processes ONLY the new parts
+ 4. incremental    — ensure_signature_table processes ONLY the new parts;
+                     then winnow_dup_pairs_delta computes the PAIR delta
+                     from add-dir row provenance (|new| × corpus join)
+                     with an exact expected answer
  5. fresh rebuild  — same 110% corpus built from scratch at another path
  6. equality       — incremental table == fresh table (count + aggregate
                      hash over every column), dup pairs identical through
@@ -181,7 +184,9 @@ def main(argv=None):
         WINNOW_FPS,
         ensure_bucketed_signature_table,
         ensure_signature_table,
+        processed_parts,
         read_signature_table,
+        winnow_dup_pairs_delta,
         winnow_dup_pairs_from,
     )
 
@@ -210,6 +215,7 @@ def main(argv=None):
     t0 = time.monotonic()
     ver_base = ensure_signature_table(spark, base_dir, WINNOW_FPS)
     out["full_winnow_sec"] = round(time.monotonic() - t0, 2)
+    snap = processed_parts(spark, base_dir, WINNOW_FPS)
 
     # 2. bucketed mirror + dup pairs (the maintenance query itself)
     t0 = time.monotonic()
@@ -259,6 +265,22 @@ def main(argv=None):
         (out["incr_shingles_sec"] + out["incr_winnow_sec"])
         / max(out["full_shingles_sec"] + out["full_winnow_sec"], 1e-9),
         3,
+    )
+
+    # 4b. incremental PAIR maintenance: delta pairs via add-dir row
+    # provenance — |new| × corpus instead of corpus × corpus. Planted
+    # twins are confined to the appended range, so the expectation is
+    # exact: added == the new range's twins, nothing retracted (no
+    # df-cap crossing in this collision-free corpus).
+    t0 = time.monotonic()
+    added_df, retracted_df = winnow_dup_pairs_delta(spark, base_dir, snap)
+    n_added, n_retracted = added_df.count(), retracted_df.count()
+    out["pairs_delta_sec"] = round(time.monotonic() - t0, 2)
+    out["pairs_added"] = n_added
+    out["pairs_retracted"] = n_retracted
+    out["pairs_delta_ok"] = (
+        n_added == len(range(7, n + n_app, 100)) - len(range(7, n, 100))
+        and n_retracted == 0
     )
 
     # 5. fresh 110% rebuild at a different corpus path
@@ -326,6 +348,7 @@ def main(argv=None):
         and out["pairs_routes_identical"]
         and out["pairs_base"] == out["pairs_base_expected"]
         and out["pairs_after_append"] == out["pairs_after_expected"]
+        and out["pairs_delta_ok"]
         and out["clusters_ok"]
     )
     out["ok"] = ok

@@ -1,0 +1,163 @@
+"""Incremental dup-pair maintenance: pairs(old+new) == pairs(old) ∪ added
+− retracted, including df-cap crossings, at frame level and through the
+signature table's add-dir provenance."""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import deed_ocr_spark.signatures as sig
+from deed_ocr_spark.queries.textpipe import (
+    winnow_dup_pairs_from,
+    winnow_pair_delta,
+)
+
+
+def _pair_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def _check_delta(spark, old_rows, new_rows, max_df):
+    """The equality contract, plus disjointness sanity."""
+    old = spark.createDataFrame(old_rows, "doc_id bigint, fp bigint")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, fp bigint")
+    p_old = _pair_set(winnow_dup_pairs_from(old, max_df=max_df))
+    p_full = _pair_set(
+        winnow_dup_pairs_from(old.unionByName(new), max_df=max_df)
+    )
+    added, retracted = winnow_pair_delta(old, new, max_df=max_df)
+    a, r = _pair_set(added), _pair_set(retracted)
+    assert (p_old | a) - r == p_full
+    assert a & p_old == set(), "added must be genuinely new"
+    assert r <= p_old, "retractions must have existed"
+    assert a & r == set()
+    return a, r
+
+
+def test_delta_added_pairs_only(spark):
+    # new doc 10 shares fp 1 with old doc 1 → one added pair, no retraction
+    a, r = _check_delta(
+        spark,
+        [(1, 1), (2, 2)],
+        [(10, 1)],
+        max_df=4,
+    )
+    assert a == {(1, 10)} and r == set()
+
+
+def test_delta_cap_crossing_retracts(spark):
+    """fp 7 sits exactly at the cap (df=3) supporting three old pairs; one
+    new doc carrying fp 7 pushes df to 4 > cap — all three pairs lose
+    their only support and must be retracted."""
+    old = [(1, 7), (2, 7), (3, 7)]
+    a, r = _check_delta(spark, old, [(9, 7)], max_df=3)
+    assert r == {(1, 2), (1, 3), (2, 3)}
+    assert a == set(), "the crossing fp is over cap for the new doc too"
+
+
+def test_delta_cap_crossing_with_surviving_support(spark):
+    """A pair supported by TWO fps keeps existing when only one crosses."""
+    old = [(1, 7), (2, 7), (3, 7), (1, 8), (2, 8)]
+    a, r = _check_delta(spark, old, [(9, 7)], max_df=3)
+    assert (1, 2) not in r, "fp 8 still supports (1,2)"
+    assert r == {(1, 3), (2, 3)}
+
+
+def test_delta_new_new_pairs(spark):
+    a, r = _check_delta(
+        spark, [(1, 1)], [(10, 5), (11, 5)], max_df=4
+    )
+    assert a == {(10, 11)} and r == set()
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_delta_random_property(spark, seed):
+    """Randomized contract check across df-cap regimes."""
+    rng = random.Random(seed)
+    max_df = rng.choice([2, 3, 5])
+    old = [
+        (rng.randrange(30), rng.randrange(12)) for _ in range(80)
+    ]
+    new = [
+        (30 + rng.randrange(10), rng.randrange(12)) for _ in range(30)
+    ]
+    _check_delta(spark, old, new, max_df)
+
+
+def _write_docs(spark, path, lo, hi, parts, mode):
+    """Tiny deterministic corpus in the documents.parquet shape; adjacent
+    (i-1, i) docs share text when i % 10 == 7 (planted near-dups)."""
+    rows = [
+        (
+            i,
+            " ".join(
+                f"w{(i - (1 if i % 10 == 7 else 0)) * 31 + j:06d}"
+                for j in range(12)
+            ),
+        )
+        for i in range(lo, hi)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.repartition(parts).write.mode(mode).parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+def test_table_level_delta_matches_full(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    full_before = _pair_set(
+        winnow_dup_pairs_from(
+            sig.read_signature_table(
+                spark, sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+            )
+        )
+    )
+
+    # a new partition lands (includes a twin of doc 59's content range)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    added, retracted = sig.winnow_dup_pairs_delta(spark, sf, snap)
+    full_after = _pair_set(
+        winnow_dup_pairs_from(
+            sig.read_signature_table(
+                spark, sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+            )
+        )
+    )
+    a, r = _pair_set(added), _pair_set(retracted)
+    assert (full_before | a) - r == full_after
+    assert a, "appended range plants near-dups, so the delta is non-empty"
+
+    # no-op delta after a fresh snapshot
+    snap2 = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    a2, r2 = sig.winnow_dup_pairs_delta(spark, sf, snap2)
+    assert a2.count() == 0 and r2.count() == 0
+
+
+def test_table_level_delta_refuses_after_rebuild(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 40, 1, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    # rewrite the corpus in place: same part names, new content/mtime
+    _write_docs(spark, sf, 0, 50, 1, "overwrite")
+    with pytest.raises(ValueError, match="rebuilt"):
+        sig.winnow_dup_pairs_delta(spark, sf, snap)
+
+
+def test_table_level_delta_refuses_after_compaction(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 40, 1, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    _write_docs(spark, sf, 40, 60, 1, "append")
+    sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+    fam = os.path.dirname(sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS))
+    sig.compact_signature_table(spark, fam)
+    with pytest.raises(ValueError, match="full query"):
+        sig.winnow_dup_pairs_delta(spark, sf, snap)
