@@ -631,17 +631,53 @@ def winnow_pair_delta(
     recompute in disguise). Compare Iceberg's incremental read between
     snapshots: the caller obtains old/new row provenance from the
     signature table's add-dirs (signatures.winnow_dup_pairs_delta)."""
-    old = old_fps.select("doc_id", "fp").distinct()
+    old_raw = old_fps.select("doc_id", "fp")
     new = new_fps.select("doc_id", "fp").distinct()
-    full = old.unionByName(new)
-    df_full = full.groupBy("fp").agg(F.count(F.lit(1)).alias("dff"))
-    df_old = old.groupBy("fp").agg(F.count(F.lit(1)).alias("dfo"))
+
+    # Semi-join reduction — the load-bearing scale property. Everything
+    # below is restricted to fps the NEW docs carry before any shuffle:
+    # an added pair must share an fp with a new doc, and a crossing fp's
+    # df GREW, so both live inside the new docs' fp set. The big table is
+    # scanned once (unavoidable — something must find the matching rows)
+    # but only MATCHING rows enter a shuffle. The first (unreduced)
+    # version shuffled the entire corpus table per consumer and measured
+    # SLOWER than the full recompute at 10⁶ docs (92.7 s vs 51.0 s).
+    #
+    # Like connected_components, this maintenance operator materializes
+    # its REDUCED working set (new rows + matching old rows — the small
+    # frames by construction) with localCheckpoint: the added/retracted
+    # results are separate DataFrames consumed by separate actions, and
+    # without materialization every action re-runs the corpus scan and
+    # the distincts behind these subtrees.
+    new = new.localCheckpoint(eager=True)
+    new_fp_set = new.select("fp").distinct()
+    # semi BEFORE distinct: the raw fingerprint rows (one per position)
+    # are filtered down to matching fps first, so the dedup shuffle sees
+    # only the reduced rows — distinct(old) ⋉ S == distinct(old ⋉ S).
+    # The fp set is BROADCAST: "new is small" is this operator's contract
+    # (a landed partition vs the corpus), and a broadcast-hash semi means
+    # the corpus side is scanned map-side and never shuffled — the
+    # sort-merge alternative re-shuffles the whole table, which is the
+    # full recompute's cost again. (An append too large for a broadcast
+    # is also the case where the full recompute is the cheaper query;
+    # the bucketed fp mirror is the zero-exchange middle ground.)
+    old_rel = (
+        old_raw.join(F.broadcast(new_fp_set), "fp", "semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    full_rel = old_rel.unionByName(new)
+    # per-fp counts over full_rel/old_rel EQUAL the global document
+    # frequencies for every fp in the new docs' fp set: all rows carrying
+    # those fps are present by construction
+    df_full = full_rel.groupBy("fp").agg(F.count(F.lit(1)).alias("dff"))
+    df_old = old_rel.groupBy("fp").agg(F.count(F.lit(1)).alias("dfo"))
     under_full = df_full.filter(F.col("dff") <= max_df).select("fp")
 
-    # added: (new × all) over under-cap fps, canonicalized — one side is
-    # always a new doc, so no pre-existing pair can appear
+    # added: (new × relevant) over under-cap fps, canonicalized — one
+    # side is always a new doc, so no pre-existing pair can appear
     a = new.join(under_full, "fp").withColumnRenamed("doc_id", "doc_a")
-    b = full.join(under_full, "fp").withColumnRenamed("doc_id", "doc_b")
+    b = full_rel.join(under_full, "fp").withColumnRenamed("doc_id", "doc_b")
     added = (
         a.join(b, "fp")
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -652,17 +688,46 @@ def winnow_pair_delta(
         .distinct()
     )
 
-    # retracted: confined to docs carrying a fp that CROSSED the cap
+    # retracted: confined to docs carrying a fp that CROSSED the cap.
+    # Common case (no crossing — checked on the tiny reduced frame, a
+    # bounded maintenance-control scalar like the components fixpoint
+    # test): skip the extra corpus scans entirely.
     crossing = (
         df_full.join(df_old, "fp")
         .filter((F.col("dfo") <= max_df) & (F.col("dff") > max_df))
         .select("fp")
     )
-    affected = old.join(crossing, "fp", "semi").select("doc_id").distinct()
-    d_rows = old.join(affected, "doc_id", "semi")
-    under_old = df_old.filter(F.col("dfo") <= max_df).select("fp")
-    before = _pairs_over(d_rows, under_old)
-    after = _pairs_over(d_rows, under_full)
+    affected = old_rel.join(crossing, "fp", "semi").select("doc_id").distinct()
+    if affected.isEmpty():
+        return added, added.limit(0)
+
+    # Affected docs' full row sets (a second reduced scan) may hold fps
+    # outside the new set; their global df is reconstructed as old-count
+    # plus the new rows' contribution — never an unreduced aggregate.
+    d_rows = (
+        old_raw.join(F.broadcast(affected), "doc_id", "semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d_fps = d_rows.select("fp").distinct()
+    dfo_d = (
+        old_raw.join(F.broadcast(d_fps), "fp", "semi")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfo"))
+    )
+    dfn_d = (
+        new.join(d_fps, "fp", "semi")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfn"))
+    )
+    df_d = dfo_d.join(dfn_d, "fp", "left").select(
+        "fp",
+        F.col("dfo"),
+        (F.col("dfo") + F.coalesce(F.col("dfn"), F.lit(0))).alias("dff"),
+    ).localCheckpoint(eager=True)
+    before = _pairs_over(d_rows, df_d.filter(F.col("dfo") <= max_df).select("fp"))
+    after = _pairs_over(d_rows, df_d.filter(F.col("dff") <= max_df).select("fp"))
     retracted = before.exceptAll(after).distinct()
     return added, retracted
 
