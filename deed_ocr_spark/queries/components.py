@@ -104,11 +104,13 @@ def connected_components(
 
     Pass a dict as ``stats`` to receive {"rounds": int} for convergence
     telemetry (the scale smoke records it)."""
-    nodes = _symmetrize(_canonical_edges(pairs, src, dst)).select(
-        F.col("u").alias("doc_id")
-    ).distinct()
+    e0 = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
+    # nodes derive from the CHECKPOINTED frame: lineage through `pairs`
+    # would re-execute the whole upstream pair query (d13's corpus
+    # self-join) inside the centers anti-join on every downstream action
+    nodes = _symmetrize(e0).select(F.col("u").alias("doc_id")).distinct()
 
-    e = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
+    e = e0
     prev = None
     for rounds in range(1, MAX_ROUNDS + 1):
         e_next = _small_star(_symmetrize(_large_star(_symmetrize(e)))

@@ -728,7 +728,9 @@ def winnow_pair_delta(
     ).localCheckpoint(eager=True)
     before = _pairs_over(d_rows, df_d.filter(F.col("dfo") <= max_df).select("fp"))
     after = _pairs_over(d_rows, df_d.filter(F.col("dff") <= max_df).select("fp"))
-    retracted = before.exceptAll(after).distinct()
+    # before/after are distinct by construction, so exceptAll is already
+    # duplicate-free
+    retracted = before.exceptAll(after)
     return added, retracted
 
 

@@ -770,11 +770,22 @@ def winnow_dup_pairs_delta(
         )
     new_parts = {k for k in processed if k not in since}
     base, adds = _version_base_paths(ver)
-    new_dirs, covered = [], set()
+    # Three-way add-dir classification against the [since, processed]
+    # window. A dir whose parts are neither all-old nor all-new was
+    # committed by a CONCURRENT maintainer after the processed snapshot
+    # above (append part-sets are disjoint from every earlier processed
+    # set, so no committed dir can straddle the boundary): it is EXCLUDED
+    # from both sides — its rows belong to the next delta window, and
+    # counting them as old baseline would silently drop their pairs from
+    # every future delta.
+    new_dirs, old_dirs, covered = [], [], set()
     for p, rec in adds:
         if set(rec) <= new_parts:
             new_dirs.append(p)
             covered |= set(rec)
+        elif set(rec) <= set(since):
+            old_dirs.append(p)
+        # else: post-snapshot concurrent commit — outside this window
     if covered != new_parts:
         raise ValueError(
             "row provenance for the new parts was folded away "
@@ -789,7 +800,7 @@ def winnow_dup_pairs_delta(
             .limit(0)
         )
         return empty, empty
-    old_paths = base + [p for p in (p for p, _ in adds) if p not in new_dirs]
+    old_paths = base + old_dirs
     old_rows = (
         spark.read.parquet(*old_paths).select("doc_id", "fp")
         if old_paths

@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--chain", type=int, default=512)
     p.add_argument("--cpus", type=int, default=0)
     args = p.parse_args(argv)
+    if args.chain < 2:
+        p.error("--chain must be >= 2 (length-1 chains have no edges)")
 
     cpus = args.cpus or len(os.sched_getaffinity(0))
 
@@ -71,6 +73,9 @@ def main(argv=None):
     ).collect()[0]
     wall = round(time.monotonic() - t0, 2)
 
+    # a trailing length-1 chain (n % L == 1) has no edge, and the operator
+    # labels only nodes that appear in an edge — drop it from expectations
+    n_eff = n - 1 if n % L == 1 else n
     out = {
         "nodes": n,
         "chain_len": L,
@@ -79,8 +84,10 @@ def main(argv=None):
         "rounds": stats["rounds"],
         "wall_sec": wall,
         "clusters": int(agg["n_clusters"]),
-        "clusters_expected": -(-n // L),
-        "all_labels_correct": int(agg["n_correct"]) == int(agg["n_docs"]) == n,
+        "clusters_expected": -(-n_eff // L),
+        "all_labels_correct": int(agg["n_correct"])
+        == int(agg["n_docs"])
+        == n_eff,
     }
     out["ok"] = (
         out["clusters"] == out["clusters_expected"]

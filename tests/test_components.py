@@ -4,8 +4,6 @@ canonical (transitive-closure) keep-list semantics it enables."""
 import random
 
 import pytest
-from pyspark.sql import functions as F
-
 from deed_ocr_spark.queries.components import (
     canonical_keeplist,
     connected_components,

@@ -6,7 +6,6 @@ import os
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 import deed_ocr_spark.signatures as sig
 from deed_ocr_spark.queries.textpipe import (
@@ -137,6 +136,40 @@ def test_table_level_delta_matches_full(spark, tmp_path, monkeypatch):
     snap2 = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
     a2, r2 = sig.winnow_dup_pairs_delta(spark, sf, snap2)
     assert a2.count() == 0 and r2.count() == 0
+
+
+def test_table_level_delta_excludes_concurrent_add_dir(
+    spark, tmp_path, monkeypatch
+):
+    """An add dir committed by a CONCURRENT maintainer after the delta's
+    processed snapshot (its parts outside since ∪ new_parts) belongs to
+    the NEXT window: its rows must not enter the old baseline (which
+    would permanently hide their pairs from every future delta) nor the
+    new side of this one."""
+    import shutil
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    ver = sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+    baseline = sig.winnow_dup_pairs_delta(spark, sf, snap)
+    base_sets = (_pair_set(baseline[0]), _pair_set(baseline[1]))
+
+    # plant a "concurrent" add dir: a copy of an existing add dir with a
+    # part record naming a part neither in the snapshot nor the appends
+    src = next(
+        os.path.join(ver, n) for n in os.listdir(ver) if n.startswith("add-")
+    )
+    foreign = os.path.join(ver, "add-feedfacecafe")
+    shutil.copytree(src, foreign)
+    with open(os.path.join(foreign, "_parts.json"), "w") as f:
+        f.write('{"part-future.parquet": "999:999"}')
+
+    got = sig.winnow_dup_pairs_delta(spark, sf, snap)
+    assert (_pair_set(got[0]), _pair_set(got[1])) == base_sets
+    shutil.rmtree(foreign)
 
 
 def test_table_level_delta_refuses_after_rebuild(spark, tmp_path, monkeypatch):
