@@ -666,6 +666,25 @@ def winnow_pair_delta(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Contract check (round-5 ADVICE): old and new must not share doc_ids
+    # — a corrected partition re-landed under existing ids would make
+    # `added` report pre-existing pairs and double-count per-fp dfs, with
+    # no error. Asserted on the already-reduced (checkpointed, small)
+    # frames, so the cost is one broadcast semi over them. A shared doc
+    # whose old rows carry NONE of the new fps evades this check, but
+    # also contributes nothing to the frames the delta computes over —
+    # the dominant hazard (re-landed content → identical fps) is caught.
+    overlap = old_rel.join(
+        F.broadcast(new.select("doc_id").distinct()), "doc_id", "semi"
+    )
+    if not overlap.isEmpty():
+        sample = [r.doc_id for r in overlap.select("doc_id").limit(3).collect()]
+        raise ValueError(
+            f"winnow_pair_delta requires old/new doc_id disjointness, but "
+            f"new docs {sample}... already exist in the old fingerprint "
+            "rows (a partition re-landed under existing ids?) — run the "
+            "full winnow_dup_pairs recompute instead"
+        )
     full_rel = old_rel.unionByName(new)
     # per-fp counts over full_rel/old_rel EQUAL the global document
     # frequencies for every fp in the new docs' fp set: all rows carrying

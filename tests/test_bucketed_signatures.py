@@ -356,3 +356,72 @@ def test_jaccard_bucketed_rows_and_plan(spark):
         assert "InMemoryTableScan" not in plan_buck
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_reresolves_version_under_lock(spark, tmp_path, monkeypatch):
+    """Round-5 ADVICE: ensure_bucketed_signature_table used to derive its
+    token from the version handle captured BEFORE the lock. If the family
+    is rebuilt while the caller waits, that handle points at the
+    superseded predecessor — the mirror would silently miss the rebuild.
+    Simulate the stale capture by monkeypatching ensure_signature_table
+    to hand back the predecessor while _CURRENT points at the rebuild."""
+    import os
+    import shutil as sh
+    import time as t
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    sh.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
+    sfp = str(corpus)
+    v1 = sig.ensure_signature_table(spark, sfp, sig.WINNOW_FPS)
+    os.utime(corpus / "documents.parquet", ns=(t.time_ns(), t.time_ns()))
+    v2 = sig.ensure_signature_table(spark, sfp, sig.WINNOW_FPS)
+    assert v2 != v1 and os.path.isdir(v1)  # predecessor retained one cycle
+    real_ensure = sig.ensure_signature_table
+    monkeypatch.setattr(
+        sig, "ensure_signature_table", lambda *a, **k: v1
+    )
+    name = sig.ensure_bucketed_signature_table(spark, sfp, sig.WINNOW_FPS)
+    monkeypatch.setattr(sig, "ensure_signature_table", real_ensure)
+    try:
+        stale_token = sig._bucketed_token(v1, "fp", 8)
+        assert not name.endswith(stale_token), "mirror pinned stale version"
+        want = {tuple(r) for r in sig.read_signature_table(spark, v2).collect()}
+        assert {tuple(r) for r in spark.table(name).collect()} == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_retries_when_stale_version_vanished(
+    spark, tmp_path, monkeypatch
+):
+    """Twice-rebuilt-while-waiting: version GC keeps one predecessor, so
+    the pre-lock handle can be GONE — listing it raised an uncaught
+    FileNotFoundError before round 6. Now it retries via a fresh
+    ensure_signature_table resolution."""
+    import shutil as sh
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    corpus = tmp_path / "sf"
+    corpus.mkdir()
+    sh.copy(f"{SF}/documents.parquet", corpus / "documents.parquet")
+    sfp = str(corpus)
+    v1 = sig.ensure_signature_table(spark, sfp, sig.WINNOW_FPS)
+    ghost = v1 + "-vanished"
+    real_ensure = sig.ensure_signature_table
+    calls = {"n": 0}
+
+    def first_call_stale(*a, **k):
+        calls["n"] += 1
+        return ghost if calls["n"] == 1 else real_ensure(*a, **k)
+
+    monkeypatch.setattr(sig, "ensure_signature_table", first_call_stale)
+    name = sig.ensure_bucketed_signature_table(spark, sfp, sig.WINNOW_FPS)
+    monkeypatch.setattr(sig, "ensure_signature_table", real_ensure)
+    try:
+        assert calls["n"] >= 2
+        want = {tuple(r) for r in sig.read_signature_table(spark, v1).collect()}
+        assert {tuple(r) for r in spark.table(name).collect()} == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -194,3 +194,17 @@ def test_table_level_delta_refuses_after_compaction(spark, tmp_path, monkeypatch
     sig.compact_signature_table(spark, fam)
     with pytest.raises(ValueError, match="full query"):
         sig.winnow_dup_pairs_delta(spark, sf, snap)
+
+
+def test_delta_rejects_overlapping_doc_ids(spark):
+    """Round-5 ADVICE: a partition re-landed under EXISTING doc_ids breaks
+    the delta's equality contract silently (added reports pre-existing
+    pairs, per-fp dfs double-count). The frame-level API must refuse."""
+    old = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "doc_id bigint, fp bigint"
+    )
+    relanded = spark.createDataFrame(
+        [(2, 7), (10, 9)], "doc_id bigint, fp bigint"
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        winnow_pair_delta(old, relanded, max_df=4)

@@ -449,3 +449,85 @@ def test_lock_same_process_start_is_live(tmp_path):
     with pytest.raises(TimeoutError):
         with sig._maintenance_lock(fam, timeout=0.3, stale_after=1.0):
             pass  # pragma: no cover
+
+
+# --- round-6 ADVICE: takeover TOCTOU + algo-GC locking -------------------------
+def test_takeover_spares_live_successor(tmp_path):
+    """The round-5 ADVICE TOCTOU: a contender judges a lock stale, but
+    before it acts the stale lock is taken over AND a live successor
+    acquires a fresh lock at the same path. The delayed removal must NOT
+    evict the live successor. _takeover_stale re-judges under the flock
+    mutex, so handing it a path that NOW holds a live lock is a no-op."""
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    # the contender judged THIS record stale (dead pid)...
+    with open(lock, "w") as f:
+        json.dump({"pid": 2**22 + 777, "ts": 0.0}, f)
+    stale, _, _ = sig._judge_stale(lock, stale_after=1.0)
+    assert stale
+    # ...but a live successor replaced it before the removal ran
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),
+                "ts": 0.0,
+                "start": sig._proc_start(os.getpid()),
+            },
+            f,
+        )
+    sig._takeover_stale(lock, stale_after=1.0)
+    with open(lock) as f:
+        assert json.load(f)["pid"] == os.getpid(), "live successor evicted"
+
+
+def test_takeover_removes_genuinely_stale_lock(tmp_path):
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    with open(lock, "w") as f:
+        json.dump({"pid": 2**22 + 778, "ts": 0.0}, f)
+    sig._takeover_stale(lock, stale_after=1.0)
+    assert not os.path.exists(lock)
+
+
+def test_takeover_mutex_survives_crash_gc(tmp_path):
+    """The flock sidecar must not match _gc_crashed_tmp's debris patterns:
+    collecting it mid-flock would let two takeovers race again."""
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    mutex = os.path.join(fam, "_lock.takeover")
+    with open(mutex, "w"):
+        pass
+    sig._gc_crashed_tmp(fam)
+    assert os.path.exists(mutex)
+
+
+def test_algo_gc_skips_old_dir_with_live_maintainer(tmp_path, monkeypatch):
+    """_gc_stale_algo_versions must not rmtree an old-algo-version family
+    dir whose maintenance lock is held by a LIVE process (mixed-version
+    rollout): deleting it would kill the old-code build and free its lock
+    for a second old-code maintainer."""
+    monkeypatch.setitem(sig.FAMILY_ALGO_VERSION, sig.SHINGLES, 2)
+    parent = tmp_path / "corpuskey"
+    new_dir = parent / f"{sig.SHINGLES}.a2"
+    old_dir = parent / sig.SHINGLES  # implicit v1
+    new_dir.mkdir(parents=True)
+    old_dir.mkdir()
+    (old_dir / "somedata").write_text("x")
+    # live old-code maintainer holds the old dir's lock
+    with open(old_dir / "_lock", "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),
+                "ts": 0.0,
+                "start": sig._proc_start(os.getpid()),
+            },
+            f,
+        )
+    sig._gc_stale_algo_versions(str(new_dir), sig.SHINGLES)
+    assert old_dir.is_dir(), "locked old-version dir must survive GC"
+    os.unlink(old_dir / "_lock")
+    sig._gc_stale_algo_versions(str(new_dir), sig.SHINGLES)
+    assert not old_dir.exists(), "unlocked old-version dir reclaimed"
