@@ -5,11 +5,12 @@ sf0.001 tier; ``queries()``/``oracle_sql()`` expose the operator coverage
 from SURVEY.md §2 plus the training-data pipeline ops (dedup family,
 similarity search, text analysis, multimodal plumbing). Exactly 50 queries
 are registered — the driver's CORRECTNESS gate records at most 50 rows
-(see docs/COVERAGE.md, "Driver registry sizing") — 42 of them
+(see docs/COVERAGE.md, "Driver registry sizing") — 43 of them
 oracle-backed (including the e7 recall gauge: the measurement itself is
-reproduced in DuckDB, and j6's native DuckDB ASOF JOIN). Oracle-less
-entries (x1/x2/x4/x5/m1, d6b/d13, a12) are the non-SQL-expressible kernel
-pipelines, engine-native-hash twins, and the HLL sketch — each covered by
+reproduced in DuckDB, j6's native DuckDB ASOF JOIN, and d16's
+recursive-CTE connected components). Oracle-less entries (x1/x2/x4/x5/m1,
+d13, a12) are the non-SQL-expressible kernel pipelines, the
+engine-native-hash winnowing pairs, and the HLL sketch — each covered by
 golden / agreement / parity tests in tests/ instead.
 """
 

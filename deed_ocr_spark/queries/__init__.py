@@ -1,13 +1,20 @@
 """Driver-gate query registry: name → (spark, sf_dir) → DataFrame, plus
 DuckDB oracle SQL for everything SQL-expressible."""
 
-from deed_ocr_spark.queries import extraction, relational, similarity, textpipe
+from deed_ocr_spark.queries import (
+    components,
+    extraction,
+    relational,
+    similarity,
+    textpipe,
+)
 
 QUERIES = {
     **relational.QUERIES,
     **textpipe.QUERIES,
     **similarity.QUERIES,
     **extraction.QUERIES,
+    **components.QUERIES,
 }
 
 ORACLES = {
@@ -15,6 +22,7 @@ ORACLES = {
     **textpipe.ORACLES,
     **similarity.ORACLES,
     **extraction.ORACLES,
+    **components.ORACLES,
 }
 
 assert set(ORACLES) <= set(QUERIES)

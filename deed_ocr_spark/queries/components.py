@@ -24,7 +24,9 @@ Engine addition beyond the reference (its similarity self-dedup,
 extractors/llm.py:195-217, dedups WITHIN one document's candidate list;
 corpus-level clustering has no analog there). Tested against a Python
 union-find oracle on adversarial graphs (chains, stars, cliques, random)
-in tests/test_components.py; unregistered (50-row driver registry cap).
+in tests/test_components.py; registered as d16_dup_components (round-6
+swap for the agreement-tested d6b twin) with a recursive-CTE DuckDB
+value oracle.
 """
 
 from __future__ import annotations
@@ -144,6 +146,24 @@ def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(d13_winnow_dup_pairs(spark, sf_dir))
 
 
+def d16_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED components query: duplicate clusters over the n-gram
+    Jaccard pairs (d7's registered bucketed form — row-identical to the
+    portable pipeline its DuckDB oracle mirrors). d7's pair predicate is
+    fully SQL-expressible, so this operator gets a real value oracle: the
+    same pairs fed to a recursive-CTE transitive closure with min-label
+    aggregation (textpipe's d7 SQL + reach CTE). The d13-based
+    ``dup_components`` above stays the maintenance-pipeline form (its
+    winnowing hash is engine-native, hence rows-only)."""
+    from deed_ocr_spark.queries.textpipe import (
+        d7b_ngram_jaccard_pairs_bucketed,
+    )
+
+    return connected_components(
+        d7b_ngram_jaccard_pairs_bucketed(spark, sf_dir)
+    )
+
+
 def canonical_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One keeper per duplicate CLUSTER (the transitive-closure upgrade of
     d14's greedy pair policy): every doc outside any dup pair keeps
@@ -162,3 +182,34 @@ def canonical_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dup_components(spark, sf_dir)
     dropped = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(dropped, "doc_id", "left_anti")
+
+
+# --- driver registry -----------------------------------------------------------
+def _d16_oracle_sql() -> str:
+    """Recursive-CTE components oracle: d7's pair SQL symmetrized, then
+    transitive closure (UNION-dedup fixpoint) and min-label aggregation —
+    feasible because the pair graph at oracle scale (sf0.001/sf0.01) is
+    tiny; the Spark side is the O(log) star-contraction that scales."""
+    from deed_ocr_spark.queries.textpipe import ORACLES as _T
+
+    d7 = _T["d7_ngram_jaccard_pairs"]
+    return f"""
+        WITH RECURSIVE pairs AS ({d7}),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+          WHERE e.v <> r.u
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS component
+        FROM reach GROUP BY u
+    """
+
+
+QUERIES = {"d16_dup_components": d16_dup_components}
+ORACLES = {"d16_dup_components": _d16_oracle_sql()}

@@ -851,10 +851,11 @@ def d14_training_keeplist(
 # NOT registered (50-row driver cap): d12_winnow_fingerprints — the
 # winnowing kernel runs inside registered d13 every round and d12's own
 # output is naive-reference cross-checked in tests/test_fingerprint.py —
-# and d10_minhash_fast_pairs, the xxhash64 production twin of registered
-# d9 (pytest asserts their candidate sets agree; d6b remains registered as
-# the fast-twin exemplar). Demotions freed the slot for the oracle-backed
-# j6_asof_join.
+# d10_minhash_fast_pairs, the xxhash64 production twin of registered d9
+# (pytest asserts their candidate sets agree) — and, since round 6,
+# d6b_simhash_fast, whose coverage lives entirely in the d6/d6b agreement
+# suite (tests/test_simhash.py). Demotions freed slots for the
+# oracle-backed j6_asof_join and d16_dup_components (components.py).
 QUERIES = {
     "d14_training_keeplist": d14_training_keeplist,
     "d13_winnow_dup_pairs": d13_winnow_dup_pairs,
@@ -865,7 +866,6 @@ QUERIES = {
     "d4_quality_score": d4_quality_score,
     "d5_fingerprint": d5_fingerprint,
     "d6_simhash": d6_simhash,
-    "d6b_simhash_fast": d6b_simhash_fast,
     "d7_ngram_jaccard_pairs": d7_ngram_jaccard_pairs,
     "d8_minhash_sig": d8_minhash_sig,
     "d9_minhash_band_pairs": d9_minhash_band_pairs,

@@ -127,3 +127,30 @@ def test_canonical_keeplist_keeps_one_per_cluster(spark):
     # and every cluster contributes exactly its representative
     for doc, m in comp.items():
         assert (doc in keep) == (doc == m)
+
+
+def test_d16_registered_with_oracle_and_matches_union_find(spark):
+    """Round-6 registration lock: d16_dup_components sits in the 50-slot
+    registry WITH a DuckDB oracle (the swap's whole point was raising the
+    oracle-backed count), d6b is demoted but still importable, and d16's
+    labels equal a union-find over the exact pairs it clusters."""
+    from deed_ocr_spark.queries import ORACLES, QUERIES
+    from deed_ocr_spark.queries.components import d16_dup_components
+    from deed_ocr_spark.queries.textpipe import (
+        d6b_simhash_fast,  # noqa: F401 — demoted, must stay importable
+        d7b_ngram_jaccard_pairs_bucketed,
+    )
+
+    assert "d16_dup_components" in QUERIES and "d16_dup_components" in ORACLES
+    assert "d6b_simhash_fast" not in QUERIES
+    assert len(QUERIES) == 50
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in d7b_ngram_jaccard_pairs_bucketed(spark, sf).collect()
+    ]
+    got = {
+        r["doc_id"]: r["component"]
+        for r in d16_dup_components(spark, sf).collect()
+    }
+    assert got == _union_find(pairs) and got
