@@ -140,10 +140,21 @@ def connected_components(
 
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters of the corpus: connected components over the
-    winnowing dup pairs (d13's output — already df-capped and bucketed)."""
-    from deed_ocr_spark.queries.textpipe import d13_winnow_dup_pairs
+    DURABLE winnowing dup-pair table (signatures.ensure_dup_pairs_table —
+    d13's min_shared=1 pair set, incrementally maintained via the pair
+    delta). Cluster resolution pays only for the graph, never for
+    re-deriving it from the corpus: before round 6 the first eager
+    checkpoint re-ran the whole dup-pairs query (~73 s of the 10⁶-doc
+    maintenance smoke); now it scans a tiny parquet table."""
+    from deed_ocr_spark.signatures import (
+        ensure_dup_pairs_table,
+        read_signature_table,
+    )
 
-    return connected_components(d13_winnow_dup_pairs(spark, sf_dir))
+    pairs = read_signature_table(
+        spark, ensure_dup_pairs_table(spark, sf_dir)
+    )
+    return connected_components(pairs)
 
 
 def d16_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -855,6 +855,108 @@ def winnow_dup_pairs_delta(
     return winnow_pair_delta(old_rows, new_rows, max_df=max_df)
 
 
+# --- durable dup-pairs table (derived family) ---------------------------------
+def _pairs_family_tag(max_df: int) -> str:
+    """Family tag of the durable pair table. Carries the WINNOW_FPS algo
+    version explicitly: pairs derive from fingerprints, so a fingerprint
+    kernel change must orphan stored pairs exactly like it orphans the
+    fps family itself (family_dir_for only auto-tags the base families)."""
+    fps_ver = FAMILY_ALGO_VERSION.get(WINNOW_FPS, 1)
+    return f"winnow_pairs-df{max_df}-fa{fps_ver}"
+
+
+def _pairs_full_df(spark: SparkSession, sf_dir: str, max_df: int) -> DataFrame:
+    """Full (doc_a, doc_b) recompute via the fp-bucketed mirror (the
+    registered d13 plan: one Exchange end-to-end)."""
+    from deed_ocr_spark.queries.textpipe import (
+        d13b_winnow_dup_pairs_bucketed,
+    )
+
+    return d13b_winnow_dup_pairs_bucketed(
+        spark, sf_dir, min_shared=1, max_df=max_df
+    ).select("doc_a", "doc_b")
+
+
+def ensure_dup_pairs_table(
+    spark: SparkSession, sf_dir: str, max_df: int = 64
+) -> str:
+    """Durable (doc_a, doc_b) duplicate-pair table (d13's min_shared=1
+    pair set), incrementally maintained; returns the current VERSION dir.
+
+    Why it exists (round-5 VERDICT #2): duplicate-CLUSTER resolution
+    (components) and keep-list queries consume the pair GRAPH, and the
+    10⁶-doc maintenance smoke spent ~73 s re-deriving that graph from the
+    corpus inside the components query's first eager checkpoint. With the
+    graph durable, cluster resolution pays only for the graph — and the
+    graph itself is maintained incrementally: when the fingerprint family
+    grew by appended corpus parts, the new pair set is
+    ``old ∪ added − retracted`` via :func:`winnow_dup_pairs_delta`
+    (|new|×corpus scan-bound work, measured 0.20× a full recompute at a
+    10% append), applied to the SMALL stored pair table and rewritten as
+    a fresh version. Any non-append fps change (rebuild, compaction
+    folding provenance away) falls back to the full bucketed-mirror
+    recompute. Pair existence only — shared_fps counts are not stored
+    (the delta cannot maintain them; see winnow_pair_delta).
+
+    The manifest records the WINNOW_FPS processed-parts snapshot the pair
+    set reflects, making staleness structural exactly like every other
+    family. min_shared is pinned to 1 (the delta's contract)."""
+    fps_snapshot = processed_parts(spark, sf_dir, WINNOW_FPS)
+    family_dir = family_dir_for(
+        _docs_parquet_path(sf_dir), _pairs_family_tag(max_df)
+    )
+    cur = _current_version_dir(family_dir)
+    if cur is not None and _read_manifest(cur) == fps_snapshot:
+        return cur
+    with _maintenance_lock(family_dir):
+        _gc_crashed_tmp(family_dir)
+        cur = _current_version_dir(family_dir)
+        old_snap = _read_manifest(cur) if cur is not None else None
+        if old_snap == fps_snapshot:
+            return cur  # another maintainer finished while we waited
+        if (
+            cur is not None
+            and old_snap
+            and set(old_snap) < set(fps_snapshot)
+            and all(fps_snapshot.get(k) == v for k, v in old_snap.items())
+        ):
+            try:
+                added, retracted = winnow_dup_pairs_delta(
+                    spark, sf_dir, old_snap, max_df=max_df
+                )
+                old_pairs = read_signature_table(spark, cur).select(
+                    "doc_a", "doc_b"
+                )
+                # added ∩ old == ∅ by the delta contract; retracted is
+                # bounded (df-cap crossings), so the anti-join broadcasts.
+                # distinct() is the self-heal for one narrow race: an fps
+                # append landing between our snapshot and the delta makes
+                # the delta cover MORE parts than the manifest records —
+                # the next cycle re-adds those parts' pairs, and without
+                # the dedup they would double. Cheap: the pair table is
+                # tiny relative to the corpus.
+                merged = (
+                    old_pairs.unionByName(added.select("doc_a", "doc_b"))
+                    .distinct()
+                    .join(
+                        F.broadcast(retracted.select("doc_a", "doc_b")),
+                        ["doc_a", "doc_b"],
+                        "left_anti",
+                    )
+                )
+                return _write_version(
+                    spark, family_dir, fps_snapshot, merged
+                )
+            except ValueError:
+                pass  # provenance insufficient — full recompute below
+        return _write_version(
+            spark,
+            family_dir,
+            fps_snapshot,
+            _pairs_full_df(spark, sf_dir, max_df),
+        )
+
+
 def materialize_signatures(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict[str, str]:

@@ -9,18 +9,24 @@ bucketed mirrors) instead of the document text.
 Cycle measured:
 
  1. full build     — shingles + winnow_fps families over the base corpus
- 2. bucketed mirror— fp-bucketed winnow mirror + dup-pairs query
+ 2. bucketed mirror— fp-bucketed winnow mirror + dup-pairs query; then the
+                     DURABLE pairs table (ensure_dup_pairs_table) persists
+                     the pair graph
  3. append         — +10% of the corpus lands as NEW parquet part files
  4. incremental    — ensure_signature_table processes ONLY the new parts;
                      then winnow_dup_pairs_delta computes the PAIR delta
                      from add-dir row provenance (|new| × corpus join)
-                     with an exact expected answer
+                     with an exact expected answer; then the durable pairs
+                     table is maintained THROUGH that delta (old ∪ added −
+                     retracted over the small stored table)
  5. fresh rebuild  — same 110% corpus built from scratch at another path
  6. equality       — incremental table == fresh table (count + aggregate
                      hash over every column), dup pairs identical through
-                     both the plain and bucketed routes
- 7. clusters       — connected components over the pairs; planted twins
-                     are disjoint, so expected clusters are exact
+                     both the plain and bucketed routes AND the durable
+                     pairs table
+ 7. clusters       — connected components over the DURABLE pairs table
+                     (graph cost only — no pair re-derivation); planted
+                     twins are disjoint, so expected clusters are exact
 
 Corpus: deterministic synthetic (doc_id, text, lang, source, n_chars)
 rows in the shape of the driver's ``documents`` table — text is a pure
@@ -246,6 +252,14 @@ def main(argv=None):
         h_pairs_p,
     )
 
+    # 2b. durable pairs table: persist the pair GRAPH so downstream
+    # consumers (components, keep-lists) never re-derive it (round-6)
+    from deed_ocr_spark.signatures import ensure_dup_pairs_table
+
+    t0 = time.monotonic()
+    pairs_ver_base = ensure_dup_pairs_table(spark, base_dir)
+    out["pairs_table_build_sec"] = round(time.monotonic() - t0, 2)
+
     # 3. a day's partition lands: +10% as NEW part files
     t0 = time.monotonic()
     write_corpus(
@@ -283,6 +297,14 @@ def main(argv=None):
         and n_retracted == 0
     )
 
+    # 4c. durable pairs table maintained THROUGH the delta: a fresh
+    # version written as old ∪ added − retracted over the small stored
+    # table — no corpus-scale pair recompute
+    t0 = time.monotonic()
+    pairs_ver_incr = ensure_dup_pairs_table(spark, base_dir)
+    out["pairs_table_delta_sec"] = round(time.monotonic() - t0, 2)
+    out["pairs_table_new_version"] = pairs_ver_incr != pairs_ver_base
+
     # 5. fresh 110% rebuild at a different corpus path
     write_corpus(spark, ref_dir, 0, n + n_app, args.parts + max(
         1, int(args.parts * args.append_frac)), args.seed, "overwrite")
@@ -311,8 +333,29 @@ def main(argv=None):
     out["pairs_after_append"] = d_incr[0]
     out["pairs_after_expected"] = len(range(7, n + n_app, 100))
     out["pairs_identical"] = d_incr == d_ref
+    # the delta-maintained durable table must equal the recomputed pairs
+    # (compare on (doc_a, doc_b): the durable table stores pair EXISTENCE
+    # only — the delta cannot maintain shared_fps counts)
+    d_incr_pairs = _pairs_digest(
+        spark,
+        winnow_dup_pairs_from(
+            read_signature_table(spark, ver_incr).select("doc_id", "fp")
+        ).select("doc_a", "doc_b"),
+    )
+    out["pairs_table_identical"] = (
+        _pairs_digest(
+            spark,
+            read_signature_table(spark, pairs_ver_incr).select(
+                "doc_a", "doc_b"
+            ),
+        )
+        == d_incr_pairs
+    )
 
-    # 7. duplicate clusters: transitive closure over the pairs. Planted
+    # 7. duplicate clusters: transitive closure over the DURABLE pair
+    # table (components pays only for the graph, not its re-derivation —
+    # before round 6 this phase re-ran the whole dup-pairs query inside
+    # the first eager checkpoint, ~73 s of the 10⁶-doc smoke). Planted
     # twins are disjoint {i-1, i} pairs, so the expected answer is exact:
     # one 2-doc cluster per pair, component min == the base doc id.
     from pyspark.sql import functions as F
@@ -321,9 +364,7 @@ def main(argv=None):
 
     t0 = time.monotonic()
     comp = connected_components(
-        winnow_dup_pairs_from(
-            read_signature_table(spark, ver_incr).select("doc_id", "fp")
-        )
+        read_signature_table(spark, pairs_ver_incr)
     )
     agg = comp.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -349,6 +390,8 @@ def main(argv=None):
         and out["pairs_base"] == out["pairs_base_expected"]
         and out["pairs_after_append"] == out["pairs_after_expected"]
         and out["pairs_delta_ok"]
+        and out["pairs_table_new_version"]
+        and out["pairs_table_identical"]
         and out["clusters_ok"]
     )
     out["ok"] = ok

@@ -208,3 +208,121 @@ def test_delta_rejects_overlapping_doc_ids(spark):
     )
     with pytest.raises(ValueError, match="disjoint"):
         winnow_pair_delta(old, relanded, max_df=4)
+
+
+# --- durable dup-pairs table (round-6 VERDICT #2) ------------------------------
+def test_pairs_table_full_build_matches_d13(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    ver = sig.ensure_dup_pairs_table(spark, sf)
+    stored = _pair_set(sig.read_signature_table(spark, ver))
+    want = _pair_set(
+        winnow_dup_pairs_from(
+            sig.read_signature_table(
+                spark, sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+            )
+        )
+    )
+    assert stored == want and stored
+    # current → second call is the lock-free fast path, same version
+    assert sig.ensure_dup_pairs_table(spark, sf) == ver
+
+
+def test_pairs_table_append_goes_through_delta(spark, tmp_path, monkeypatch):
+    """After an append-only corpus growth the table must be maintained by
+    the pair DELTA (old ∪ added − retracted over the small stored table),
+    never by a full recompute — and the result must equal one."""
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    v1 = sig.ensure_dup_pairs_table(spark, sf)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+
+    def no_full(*a, **k):  # the delta path must not recompute
+        raise AssertionError("full recompute ran on an append-only change")
+
+    monkeypatch.setattr(sig, "_pairs_full_df", no_full)
+    v2 = sig.ensure_dup_pairs_table(spark, sf)
+    monkeypatch.undo()
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    assert v2 != v1, "append must land a fresh pairs version"
+    stored = _pair_set(sig.read_signature_table(spark, v2))
+    want = _pair_set(
+        winnow_dup_pairs_from(
+            sig.read_signature_table(
+                spark, sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+            )
+        )
+    )
+    assert stored == want and stored
+    # manifest tracks the fps snapshot → third call is current
+    assert sig.ensure_dup_pairs_table(spark, sf) == v2
+
+
+def test_pairs_table_rebuild_falls_back_to_full(spark, tmp_path, monkeypatch):
+    """A REWRITTEN old part (fps family rebuilt) breaks delta provenance —
+    the pairs table must take the full-recompute path and still be exact."""
+    import time as t
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    v1 = sig.ensure_dup_pairs_table(spark, sf)
+    _write_docs(spark, sf, 0, 70, 2, "overwrite")  # rewrite, not append
+    calls = {"full": 0}
+    real_full = sig._pairs_full_df
+
+    def counting_full(*a, **k):
+        calls["full"] += 1
+        return real_full(*a, **k)
+
+    monkeypatch.setattr(sig, "_pairs_full_df", counting_full)
+    v2 = sig.ensure_dup_pairs_table(spark, sf)
+    assert v2 != v1 and calls["full"] == 1
+    stored = _pair_set(sig.read_signature_table(spark, v2))
+    want = _pair_set(
+        winnow_dup_pairs_from(
+            sig.read_signature_table(
+                spark, sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+            )
+        )
+    )
+    assert stored == want and stored
+
+
+def test_dup_components_scans_durable_pairs(spark, tmp_path, monkeypatch):
+    """dup_components must consume the durable table: once the table is
+    current, cluster resolution runs with NO pair re-derivation (the
+    ~73 s components input-materialization tax of the 10⁶ smoke)."""
+    from deed_ocr_spark.queries.components import dup_components
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    ver = sig.ensure_dup_pairs_table(spark, sf)
+    pairs = _pair_set(sig.read_signature_table(spark, ver))
+
+    def no_full(*a, **k):
+        raise AssertionError("dup_components re-derived pairs")
+
+    monkeypatch.setattr(sig, "_pairs_full_df", no_full)
+    got = {
+        r["doc_id"]: r["component"] for r in dup_components(spark, sf).collect()
+    }
+    # union-find oracle over the stored pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want and got
