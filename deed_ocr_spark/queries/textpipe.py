@@ -604,8 +604,29 @@ def _pairs_over(rows: DataFrame, fp_keep: DataFrame) -> DataFrame:
     )
 
 
+def reduced_corpus_rel(
+    corpus_fps: DataFrame, new_fp_set: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """The mirror route's corpus-side reduction: rows of the FULL
+    (old+new) relation carrying a new-doc fingerprint, minus the new
+    docs' own rows = the old matching rows. Against an fp-bucketed
+    catalog table the fp semi-join rides bucket co-location (the corpus
+    side is never exchanged — plan-asserted in tests/test_pair_delta.py)
+    and the later doc_id-keyed steps shuffle only the already-reduced
+    frame."""
+    return (
+        corpus_fps.select("doc_id", "fp")
+        .join(new_fp_set, "fp", "semi")
+        .join(new_docs, "doc_id", "left_anti")
+        .distinct()
+    )
+
+
 def winnow_pair_delta(
-    old_fps: DataFrame, new_fps: DataFrame, max_df: int = 64
+    old_fps: DataFrame,
+    new_fps: DataFrame,
+    max_df: int = 64,
+    corpus_fps: DataFrame | None = None,
 ):
     """Incremental maintenance of the dup-PAIR SET (min_shared=1) when
     ``new_fps`` (fingerprints of newly-landed documents) arrive beside
@@ -630,7 +651,17 @@ def winnow_pair_delta(
     maintaining them needs per-pair support deltas, which is the full
     recompute in disguise). Compare Iceberg's incremental read between
     snapshots: the caller obtains old/new row provenance from the
-    signature table's add-dirs (signatures.winnow_dup_pairs_delta)."""
+    signature table's add-dirs (signatures.winnow_dup_pairs_delta).
+
+    ``corpus_fps`` selects the MID-SIZE-append regime (round-5 VERDICT
+    #3): pass the full (doc_id, fp) relation as an fp-bucketed catalog
+    table (old AND new rows — the state-keyed mirror already reflects
+    the append) and every corpus-side reduction becomes a
+    storage-partitioned join riding the bucketing: the big side is never
+    broadcast-hashed against and never exchanged; only the new/reduced
+    frames shuffle. Old rows are recovered by anti-joining the new docs'
+    ids (each doc's rows live in exactly one provenance window). Without
+    it, the broadcast-hash form below assumes "new is small"."""
     old_raw = old_fps.select("doc_id", "fp")
     new = new_fps.select("doc_id", "fp").distinct()
 
@@ -651,21 +682,27 @@ def winnow_pair_delta(
     # the distincts behind these subtrees.
     new = new.localCheckpoint(eager=True)
     new_fp_set = new.select("fp").distinct()
+    new_docs = new.select("doc_id").distinct()
     # semi BEFORE distinct: the raw fingerprint rows (one per position)
     # are filtered down to matching fps first, so the dedup shuffle sees
     # only the reduced rows — distinct(old) ⋉ S == distinct(old ⋉ S).
-    # The fp set is BROADCAST: "new is small" is this operator's contract
-    # (a landed partition vs the corpus), and a broadcast-hash semi means
-    # the corpus side is scanned map-side and never shuffled — the
-    # sort-merge alternative re-shuffles the whole table, which is the
-    # full recompute's cost again. (An append too large for a broadcast
-    # is also the case where the full recompute is the cheaper query;
-    # the bucketed fp mirror is the zero-exchange middle ground.)
-    old_rel = (
-        old_raw.join(F.broadcast(new_fp_set), "fp", "semi")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if corpus_fps is None:
+        # The fp set is BROADCAST: "new is small" is this route's
+        # contract (a landed partition vs the corpus), and a
+        # broadcast-hash semi means the corpus side is scanned map-side
+        # and never shuffled — the sort-merge alternative re-shuffles
+        # the whole table, which is the full recompute's cost again.
+        old_rel = (
+            old_raw.join(F.broadcast(new_fp_set), "fp", "semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # Mid-size append: semi-reduce the bucketed mirror (no exchange,
+        # no broadcast of a too-big fp set), then carve out the old rows.
+        old_rel = reduced_corpus_rel(
+            corpus_fps, new_fp_set, new_docs
+        ).localCheckpoint(eager=True)
     # Contract check (round-5 ADVICE): old and new must not share doc_ids
     # — a corrected partition re-landed under existing ids would make
     # `added` report pre-existing pairs and double-count per-fp dfs, with
@@ -674,17 +711,22 @@ def winnow_pair_delta(
     # whose old rows carry NONE of the new fps evades this check, but
     # also contributes nothing to the frames the delta computes over —
     # the dominant hazard (re-landed content → identical fps) is caught.
-    overlap = old_rel.join(
-        F.broadcast(new.select("doc_id").distinct()), "doc_id", "semi"
-    )
-    if not overlap.isEmpty():
-        sample = [r.doc_id for r in overlap.select("doc_id").limit(3).collect()]
-        raise ValueError(
-            f"winnow_pair_delta requires old/new doc_id disjointness, but "
-            f"new docs {sample}... already exist in the old fingerprint "
-            "rows (a partition re-landed under existing ids?) — run the "
-            "full winnow_dup_pairs recompute instead"
-        )
+    # Broadcast-route only: the mirror route CONSTRUCTS old_rel by
+    # anti-joining the new ids (nothing left to detect), and its callers
+    # derive both sides from add-dir provenance, which is disjoint by
+    # construction.
+    if corpus_fps is None:
+        overlap = old_rel.join(F.broadcast(new_docs), "doc_id", "semi")
+        if not overlap.isEmpty():
+            sample = [
+                r.doc_id for r in overlap.select("doc_id").limit(3).collect()
+            ]
+            raise ValueError(
+                f"winnow_pair_delta requires old/new doc_id disjointness, "
+                f"but new docs {sample}... already exist in the old "
+                "fingerprint rows (a partition re-landed under existing "
+                "ids?) — run the full winnow_dup_pairs recompute instead"
+            )
     full_rel = old_rel.unionByName(new)
     # per-fp counts over full_rel/old_rel EQUAL the global document
     # frequencies for every fp in the new docs' fp set: all rows carrying
@@ -723,15 +765,25 @@ def winnow_pair_delta(
     # Affected docs' full row sets (a second reduced scan) may hold fps
     # outside the new set; their global df is reconstructed as old-count
     # plus the new rows' contribution — never an unreduced aggregate.
+    # ``affected``/``d_fps`` are bounded (≤ max_df docs per crossing fp),
+    # so they broadcast in BOTH routes; the mirror route scans the
+    # bucketed table instead of the plain old paths (affected docs are
+    # old docs, so their mirror rows ARE the old rows; the fp-keyed scan
+    # additionally anti-joins the new docs to keep dfo an OLD count).
+    old_scan = old_raw if corpus_fps is None else corpus_fps.select(
+        "doc_id", "fp"
+    )
     d_rows = (
-        old_raw.join(F.broadcast(affected), "doc_id", "semi")
+        old_scan.join(F.broadcast(affected), "doc_id", "semi")
         .distinct()
         .localCheckpoint(eager=True)
     )
     d_fps = d_rows.select("fp").distinct()
+    dfo_base = old_scan.join(F.broadcast(d_fps), "fp", "semi")
+    if corpus_fps is not None:
+        dfo_base = dfo_base.join(new_docs, "doc_id", "left_anti")
     dfo_d = (
-        old_raw.join(F.broadcast(d_fps), "fp", "semi")
-        .distinct()
+        dfo_base.distinct()
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("dfo"))
     )

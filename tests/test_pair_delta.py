@@ -19,7 +19,8 @@ def _pair_set(df):
 
 
 def _check_delta(spark, old_rows, new_rows, max_df):
-    """The equality contract, plus disjointness sanity."""
+    """The equality contract, plus disjointness sanity — through BOTH
+    reduction routes (broadcast-hash and mirror-relation)."""
     old = spark.createDataFrame(old_rows, "doc_id bigint, fp bigint")
     new = spark.createDataFrame(new_rows, "doc_id bigint, fp bigint")
     p_old = _pair_set(winnow_dup_pairs_from(old, max_df=max_df))
@@ -32,6 +33,14 @@ def _check_delta(spark, old_rows, new_rows, max_df):
     assert a & p_old == set(), "added must be genuinely new"
     assert r <= p_old, "retractions must have existed"
     assert a & r == set()
+    # mirror route: the corpus relation stands in for the bucketed table
+    a2, r2 = map(
+        _pair_set,
+        winnow_pair_delta(
+            old, new, max_df=max_df, corpus_fps=old.unionByName(new)
+        ),
+    )
+    assert (a2, r2) == (a, r), "mirror route must equal broadcast route"
     return a, r
 
 
@@ -326,3 +335,118 @@ def test_dup_components_scans_durable_pairs(spark, tmp_path, monkeypatch):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want and got
+
+
+# --- mirror route (round-6 VERDICT #3) ------------------------------------------
+def test_table_level_mirror_route_matches_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    a_b, r_b = map(
+        _pair_set, sig.winnow_dup_pairs_delta(spark, sf, snap, route="broadcast")
+    )
+    a_m, r_m = map(
+        _pair_set, sig.winnow_dup_pairs_delta(spark, sf, snap, route="mirror")
+    )
+    name = None
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sig_winnow_fps"):
+            name = t.name
+    try:
+        assert (a_m, r_m) == (a_b, r_b) and a_b
+    finally:
+        if name:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_auto_route_picks_mirror_for_large_append(
+    spark, tmp_path, monkeypatch
+):
+    """route='auto' must go through the mirror when the new add-dirs'
+    bytes exceed the broadcast threshold (forced low here)."""
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    calls = {"mirror": 0}
+    real = sig.ensure_bucketed_signature_table
+
+    def counting(*a, **k):
+        calls["mirror"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sig, "ensure_bucketed_signature_table", counting)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        a, r = map(
+            _pair_set, sig.winnow_dup_pairs_delta(spark, sf, snap, route="auto")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert calls["mirror"] == 1, "auto must route a too-big append via mirror"
+    a_b, r_b = map(
+        _pair_set, sig.winnow_dup_pairs_delta(spark, sf, snap, route="broadcast")
+    )
+    assert (a, r) == (a_b, r_b)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sig_winnow_fps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_mirror_reduction_never_exchanges_corpus_side(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror route's whole point at a forced-low broadcast budget:
+    the corpus-table side of the fp semi-join rides bucket co-location
+    (bucketed scan present, one FEWER Exchange than the same reduction
+    against plain parquet — the missing one is exactly the corpus
+    shuffle)."""
+    import re
+
+    from deed_ocr_spark.queries.textpipe import reduced_corpus_rel
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    name = sig.ensure_bucketed_signature_table(
+        spark, sf, sig.WINNOW_FPS, key="fp"
+    )
+    ver = sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+    from pyspark.sql import functions as F
+
+    new_fp_set = spark.range(5).select((F.col("id") * 7).alias("fp"))
+    new_docs = spark.range(3).select(F.col("id").alias("doc_id"))
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def n_exchanges(p):
+        return len(set(re.findall(r"Exchange \((\d+)\)", p)))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_mirror = plan(
+            reduced_corpus_rel(spark.table(name), new_fp_set, new_docs)
+        )
+        p_plain = plan(
+            reduced_corpus_rel(
+                sig.read_signature_table(spark, ver), new_fp_set, new_docs
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert "Bucketed: true" in p_mirror, p_mirror
+    assert n_exchanges(p_mirror) == n_exchanges(p_plain) - 1, (
+        p_mirror,
+        p_plain,
+    )
