@@ -76,8 +76,14 @@ def _run_extraction(spark, corpus_path: str, n_partitions: int) -> tuple[float, 
 
 
 def bench_main() -> None:
-    from deed_ocr_spark.queries import QUERIES
+    from deed_ocr_spark.queries import QUERIES as _REG
+    from deed_ocr_spark.queries.textpipe import d6b_simhash_fast
     from deed_ocr_spark.session import get_spark
+
+    # d6b was demoted from the driver registry in round 6 (its slot went
+    # to d16_dup_components) but stays in the BENCH list so BENCH_r{N}
+    # rows remain comparable across rounds.
+    QUERIES = {**_REG, "d6b_simhash_fast": d6b_simhash_fast}
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     results: dict[str, float] = {}
@@ -122,22 +128,52 @@ def bench_main() -> None:
     # Cold-vs-warm made the round-3 cache-residency regression visible;
     # with the signature-table route the two track each other.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
-    cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        c_best = 1e18
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            c_best = min(c_best, time.time() - t0)
-        cold[name] = round(c_best, 3)
-        best = 1e18  # best-of-N: this VM has co-tenant steal-time noise
-        for _ in range(trials):
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        results[name] = round(best, 3)
+
+    def measure_queries() -> tuple[dict[str, float], dict[str, float]]:
+        warm: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            c_best = 1e18
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                c_best = min(c_best, time.time() - t0)
+            cold[name] = round(c_best, 3)
+            best = 1e18  # best-of-N: this VM has co-tenant steal noise
+            for _ in range(trials):
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+            warm[name] = round(best, 3)
+        return warm, cold
+
+    def n_dirty(warm: dict, cold: dict) -> int:
+        # warm is best-of-N AFTER the cold runs primed everything; a warm
+        # time ABOVE its own cold time means a co-tenant burst landed in
+        # the warm window — this VM's documented dirty-window signature.
+        # Small tolerance so sub-ms flips on fast queries don't count.
+        return sum(
+            1
+            for k in warm
+            if k in cold and warm[k] > cold[k] + max(0.05 * cold[k], 0.02)
+        )
+
+    warm, cold = measure_queries()
+    remeasured = False
+    if n_dirty(warm, cold) >= 2:
+        # dirty window (round-5 VERDICT #5): rerun ONCE before emitting
+        print(
+            f"bench: dirty window ({n_dirty(warm, cold)} rows warm>cold), "
+            "remeasuring once",
+            file=sys.stderr,
+        )
+        warm2, cold2 = measure_queries()
+        if n_dirty(warm2, cold2) < n_dirty(warm, cold):
+            warm, cold = warm2, cold2
+        remeasured = True
+    results.update(warm)
 
     total = round(sum(results.values()), 3)
     print(
@@ -154,6 +190,8 @@ def bench_main() -> None:
                 "bench_docs": BENCH_DOCS,
                 "spans": n_spans,
                 "cpus": CPUS,
+                "dirty_rows": n_dirty(results, cold),
+                "remeasured": remeasured,
             }
         )
     )

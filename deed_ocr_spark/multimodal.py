@@ -49,7 +49,9 @@ def _crc(s: pd.Series) -> pd.Series:
 # --- durable media table (signature-table machinery) --------------------------
 # Bumped whenever synth_media_table / the extraction that feeds it changes
 # meaning — part fingerprints include it, so stale tables rebuild.
-MEDIA_FAMILY_REV = 1
+# rev 2: chunk-partitioned layout (round-6) — tier reads prune whole
+# chunk=N directories instead of relying on row-group doc_id stats.
+MEDIA_FAMILY_REV = 2
 # Incremental unit: one corpus chunk of this many documents. Growth by
 # whole chunks appends (per-doc work, new chunks never depend on old docs);
 # growth that splits the tail chunk rebuilds.
@@ -114,7 +116,16 @@ def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
     thrashing full rebuilds, and a larger ask appends the new chunks.
     Callers wanting exactly ``n_docs`` documents filter with
     ``media_docs_filter`` — doc ids are zero-padded, so the range
-    predicate is a pushdown-friendly string comparison."""
+    predicate is a pushdown-friendly string comparison.
+
+    The table is HIVE-PARTITIONED by ``chunk`` (the maintenance unit —
+    round-5 VERDICT #6): a tier read's chunk predicate prunes whole
+    ``chunk=N`` directories at planning time (``PartitionFilters``), so
+    a small tier over a much larger superset family never even lists the
+    bigger tiers' files — row-group doc_id stats remain as the
+    second-level filter within the selected chunks. Read it with
+    ``read_media_table``, never raw recursive parquet (which drops the
+    partition column)."""
     from functools import reduce
 
     from deed_ocr_spark.corpus import corpus_range_df
@@ -136,21 +147,45 @@ def ensure_media_table(spark, n_docs: int, seed: int = 42) -> str:
         frames = [
             synth_media_table(
                 extract_spans(corpus_range_df(spark, a, b, seed))
+            ).withColumn(
+                # doc ids are "doc-<13 digits>" (corpus.doc_id_for)
+                "chunk",
+                (
+                    F.substring("doc_id", 5, 13).cast("long")
+                    / MEDIA_CHUNK_DOCS
+                ).cast("int"),
             )
             for a, b in sorted(_media_part_range(p) for p in parts)
         ]
         return reduce(DataFrame.unionByName, frames)
 
-    return ensure_table(spark, family_dir, listing, build)
+    return ensure_table(
+        spark, family_dir, listing, build, partition_by=["chunk"]
+    )
+
+
+def read_media_table(spark, version_dir: str) -> DataFrame:
+    """Scan the chunk-partitioned media family (version root + add dirs,
+    partition column restored from the directory names)."""
+    from deed_ocr_spark.signatures import read_partitioned_table
+
+    return read_partitioned_table(spark, version_dir, "chunk")
 
 
 def media_docs_filter(media: DataFrame, n_docs: int) -> DataFrame:
     """Restrict a (possibly superset) media table to the first ``n_docs``
     documents. ``doc_id_for`` zero-pads, so lexicographic < is numeric <
-    and the predicate pushes down to the parquet scan."""
+    and the predicate pushes down to the parquet scan; when the frame
+    carries the ``chunk`` partition column, the derived chunk bound
+    additionally prunes whole partition directories at planning time."""
     from deed_ocr_spark.corpus import doc_id_for
 
-    return media.filter(F.col("doc_id") < doc_id_for(n_docs))
+    out = media.filter(F.col("doc_id") < doc_id_for(n_docs))
+    if "chunk" in media.columns:
+        out = out.filter(
+            F.col("chunk") <= (max(n_docs, 1) - 1) // MEDIA_CHUNK_DOCS
+        )
+    return out
 
 
 def synth_media_table(spans_out: DataFrame) -> DataFrame:

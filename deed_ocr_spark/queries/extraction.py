@@ -160,10 +160,10 @@ def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
         ensure_media_table,
         media_docs_filter,
+        read_media_table,
         resize_images,
         sample_frames,
     )
-    from deed_ocr_spark.signatures import read_signature_table
 
     # One media table feeds all three kernels. In production the media
     # table IS its own durable table (the reference's saved page images,
@@ -174,11 +174,11 @@ def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this tier's documents.
     n_docs = _corpus_size(sf_dir)
     media = media_docs_filter(
-        read_signature_table(
+        read_media_table(
             spark, ensure_media_table(spark, n_docs, CORPUS_SEED)
         ),
         n_docs,
-    )
+    ).drop("chunk")
     dec = decode_media(media).select(
         F.lit("decode").alias("stage"),
         "doc_id",

@@ -105,6 +105,46 @@ def read_signature_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(table_dir)
 
 
+def read_partitioned_table(
+    spark: SparkSession, table_dir: str, partition_col: str
+) -> DataFrame:
+    """Scan a HIVE-PARTITIONED family version dir (built with
+    ``ensure_table(..., partition_by=[col])``), add-* subdirectories
+    included. recursiveFileLookup cannot serve this layout — it disables
+    partition inference, silently dropping the partition column — so each
+    data root (the version dir and every committed add dir) is read with
+    its own ``basePath``, restoring the column from the ``col=value``
+    directory names, and the frames are unioned. An equality predicate on
+    the partition column then prunes whole directories at planning time
+    (``PartitionFilters`` in the scan) instead of relying on row-group
+    stats."""
+    roots = [table_dir] + [
+        os.path.join(table_dir, n)
+        for n in sorted(os.listdir(table_dir))
+        if n.startswith("add-")
+        and os.path.isdir(os.path.join(table_dir, n))
+    ]
+    frames = []
+    for root in roots:
+        globs = [
+            os.path.join(root, n)
+            for n in os.listdir(root)
+            if n.startswith(f"{partition_col}=")
+        ]
+        if globs:
+            frames.append(
+                spark.read.option("basePath", root).parquet(*globs)
+            )
+    if not frames:
+        raise FileNotFoundError(
+            f"no {partition_col}= partition directories under {table_dir}"
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _secure_cache_root(path: str) -> str:
     """Create-or-verify the cache root: a REAL directory (not a symlink)
     owned by this uid, mode 0700 on creation. A pre-created directory
@@ -508,6 +548,7 @@ def _write_version(
     family_dir: str,
     listing: dict,
     df: DataFrame,
+    partition_by: Optional[List[str]] = None,
 ) -> str:
     """Write ``df`` as a fresh version dir, swap _CURRENT to it, GC older
     versions; returns the new version path. Readers holding the previous
@@ -515,7 +556,10 @@ def _write_version(
     vname = _next_version_name(family_dir, listing)
     vdir = os.path.join(family_dir, vname)
     tmp = os.path.join(family_dir, f"{vname}.tmp-{os.getpid()}")
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     _write_manifest(tmp, listing)
     os.rename(tmp, vdir)
     _set_current(family_dir, vname)
@@ -528,6 +572,7 @@ def ensure_table(
     family_dir: str,
     listing,
     build_df: Callable[[List[str]], DataFrame],
+    partition_by: Optional[List[str]] = None,
 ) -> str:
     """Generic content-keyed table maintenance; returns the current VERSION
     directory path. ``listing`` maps part name → fingerprint — either the
@@ -559,7 +604,9 @@ def ensure_table(
         if _add_dir_count(cur) < SIG_COMPACT_AFTER:
             return cur
     with _maintenance_lock(family_dir):
-        return _maintain_locked(spark, family_dir, listing_fn(), build_df)
+        return _maintain_locked(
+            spark, family_dir, listing_fn(), build_df, partition_by
+        )
 
 
 def _foreign_tmp(name: str) -> bool:
@@ -623,13 +670,16 @@ def _maintain_locked(
     family_dir: str,
     listing: dict,
     build_df: Callable[[List[str]], DataFrame],
+    partition_by: Optional[List[str]] = None,
 ) -> str:
     _gc_crashed_tmp(family_dir)
     cur = _current_version_dir(family_dir)
     if cur is not None and _read_manifest(cur) == listing:
         # another maintainer finished the work while we waited on the lock
         if _add_dir_count(cur) >= SIG_COMPACT_AFTER:
-            return _compact_locked(spark, family_dir, cur)
+            return _compact_locked(
+                spark, family_dir, cur, partition_by=partition_by
+            )
         return cur
 
     if cur is not None:
@@ -660,7 +710,10 @@ def _maintain_locked(
             if not os.path.isdir(add_dir):
                 # underscore prefix: a leaked temp dir is invisible to readers
                 tmp = os.path.join(cur, f"_tmp-{os.getpid()}")
-                build_df(new_parts).write.mode("overwrite").parquet(tmp)
+                w = build_df(new_parts).write.mode("overwrite")
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.parquet(tmp)
                 _write_parts_record(tmp, new_items)
                 try:
                     os.rename(tmp, add_dir)
@@ -672,12 +725,14 @@ def _maintain_locked(
                         raise
             _write_manifest(cur, listing)
             if _add_dir_count(cur) >= SIG_COMPACT_AFTER:
-                return _compact_locked(spark, family_dir, cur)
+                return _compact_locked(
+                    spark, family_dir, cur, partition_by=partition_by
+                )
             return cur
 
     # full (re)build into a fresh version
     return _write_version(
-        spark, family_dir, listing, build_df(sorted(listing))
+        spark, family_dir, listing, build_df(sorted(listing)), partition_by
     )
 
 
@@ -686,6 +741,7 @@ def _compact_locked(
     family_dir: str,
     version_dir: str,
     target_bytes: int = SIG_TARGET_FILE_BYTES,
+    partition_by: Optional[List[str]] = None,
 ) -> str:
     """Fold a version's accumulated add-* dirs into one consolidated
     version: READS the existing rows back (coalesce — narrow, no shuffle,
@@ -695,8 +751,12 @@ def _compact_locked(
     manifest = _processed_parts(version_dir, _read_manifest(version_dir))
     sizes = _parquet_sizes(version_dir)
     target_files = max(1, math.ceil(sum(sizes) / target_bytes))
-    df = read_signature_table(spark, version_dir).coalesce(target_files)
-    return _write_version(spark, family_dir, manifest, df)
+    df = (
+        read_partitioned_table(spark, version_dir, partition_by[0])
+        if partition_by
+        else read_signature_table(spark, version_dir)
+    ).coalesce(target_files)
+    return _write_version(spark, family_dir, manifest, df, partition_by)
 
 
 def compact_signature_table(

@@ -255,14 +255,16 @@ def test_media_table_chunk_growth_appends(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 50)
     p = mm.ensure_media_table(spark, 100, seed=7)
     old_files = {
-        f: os.path.getmtime(os.path.join(p, f))
-        for f in os.listdir(p)
+        os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+        for d, _dirs, fs in os.walk(p)
+        for f in fs
         if f.endswith(".parquet")
     }
+    assert old_files, "partitioned layout must still land parquet files"
     p2 = mm.ensure_media_table(spark, 200, seed=7)
     assert p2 == p, "chunk-aligned growth appends into the same version"
     for f, mt in old_files.items():
-        assert os.path.getmtime(os.path.join(p, f)) == mt, f
+        assert os.path.getmtime(f) == mt, f
     got = {tuple(r) for r in sig.read_signature_table(spark, p2).drop("meta").collect()}
     monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "scratch"))
     p3 = mm.ensure_media_table(spark, 200, seed=7)
@@ -531,3 +533,52 @@ def test_algo_gc_skips_old_dir_with_live_maintainer(tmp_path, monkeypatch):
     os.unlink(old_dir / "_lock")
     sig._gc_stale_algo_versions(str(new_dir), sig.SHINGLES)
     assert not old_dir.exists(), "unlocked old-version dir reclaimed"
+
+
+def test_media_table_partition_pruning(spark, tmp_path, monkeypatch):
+    """Round-6: the media family is hive-partitioned by chunk, so a tier
+    read's chunk bound prunes whole chunk=N directories at PLANNING time
+    (PartitionFilters in the scan) — a small tier over a superset family
+    never lists the bigger tiers' files. Rows must equal the pure
+    doc_id-filter answer, including rows living in APPEND dirs."""
+    import re
+
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 50)
+    p = mm.ensure_media_table(spark, 100, seed=11)
+    p2 = mm.ensure_media_table(spark, 200, seed=11)  # append path
+    assert p2 == p and any(
+        n.startswith("add-") for n in os.listdir(p2)
+    ), "growth must exercise the partitioned APPEND layout"
+
+    media = mm.read_media_table(spark, p2)
+    assert "chunk" in media.columns
+    tier = mm.media_docs_filter(media, 40)  # chunk 0 only
+    plan = tier._sc._jvm.PythonSQLUtils.explainString(
+        tier._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "chunk" in m.group(1), plan
+
+    from deed_ocr_spark.corpus import doc_id_for
+
+    want = {
+        tuple(r)
+        for r in sig.read_signature_table(spark, p2)
+        .filter(f"doc_id < '{doc_id_for(40)}'")
+        .select("doc_id", "media_ref", "payload")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in tier.select("doc_id", "media_ref", "payload").collect()
+    }
+    assert got == want and got
+    # append rows are visible through the partitioned reader
+    all_ids = {
+        r["doc_id"]
+        for r in media.select("doc_id").distinct().collect()
+    }
+    assert max(all_ids) >= doc_id_for(150), "append dir rows missing"
