@@ -103,6 +103,22 @@ def _small_star(sym: DataFrame) -> DataFrame:
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's blocks. They are NON-EVICTABLE
+    (lineage is gone, so Spark pins them) and ``DataFrame.unpersist()`` is
+    a no-op for them — the persistence lives on the underlying RDD inside
+    the LogicalRDD plan node, not in the CacheManager. Verified: the plan
+    route drops the entry from getPersistentRDDs; without it a 10⁸-edge
+    run accumulates every stride's blocks and starves execution memory
+    (UNABLE_TO_ACQUIRE_MEMORY — observed). Best-effort: if the internal
+    accessor moves in a future Spark, blocks merely stay resident (the
+    pre-round-6 behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover — internal API drift
+        pass
+
+
 def _digest(e: DataFrame):
     """(edge_count, order-free hash) — the per-round fixpoint scalar."""
     row = e.agg(
@@ -135,10 +151,17 @@ def connected_components(
     Pass a dict as ``stats`` to receive {"rounds": int} for convergence
     telemetry (the scale smoke records it)."""
     e0 = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
-    # nodes derive from the CHECKPOINTED frame: lineage through `pairs`
+    # nodes derive from the CHECKPOINTED frame — lineage through `pairs`
     # would re-execute the whole upstream pair query (d13's corpus
-    # self-join) inside the centers anti-join on every downstream action
-    nodes = _symmetrize(e0).select(F.col("u").alias("doc_id")).distinct()
+    # self-join) inside the centers anti-join on every downstream action —
+    # and are MATERIALIZED here so e0's blocks can be released once the
+    # first stride supersedes it (see unpersist below)
+    nodes = (
+        _symmetrize(e0)
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     spark = e0.sparkSession
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -157,6 +180,9 @@ def connected_components(
             ).localCheckpoint(eager=True)
             rounds += 2
             cur = _digest(e_next)
+            # e_next is materialized and never references e, so the
+            # superseded stride's pinned blocks are safe to drop
+            _release_checkpoint(e)
             e = e_next
             if cur == prev:
                 break
