@@ -172,6 +172,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--work", default="/tmp/dedup_maint_smoke")
     p.add_argument("--cpus", type=int, default=0)
+    p.add_argument(
+        "--routes",
+        action="store_true",
+        help="also time the delta's broadcast vs fp-bucketed-mirror "
+        "reduction routes separately (round-6 measured point)",
+    )
     p.add_argument("--keep", action="store_true",
                    help="keep the work dir (default: removed at exit)")
     args = p.parse_args(argv)
@@ -296,6 +302,30 @@ def main(argv=None):
         n_added == len(range(7, n + n_app, 100)) - len(range(7, n, 100))
         and n_retracted == 0
     )
+
+    # 4b-routes. measured point between the broadcast and full-recompute
+    # regimes: the same delta window through each reduction route (the
+    # fp-bucketed mirror is the mid-size-append path — corpus side never
+    # exchanged; the mirror itself was built in phase 2, so this times
+    # the query, not the mirror build)
+    if args.routes:
+        # refresh the post-append mirror OUTSIDE the timed window (the
+        # state-keyed token changed when the add dir landed; the rebuild
+        # is a one-time table cost, not part of the delta query)
+        t0 = time.monotonic()
+        ensure_bucketed_signature_table(spark, base_dir, WINNOW_FPS, key="fp")
+        out["mirror_refresh_sec"] = round(time.monotonic() - t0, 2)
+        for route in ("broadcast", "mirror"):
+            t0 = time.monotonic()
+            a_r, r_r = winnow_dup_pairs_delta(
+                spark, base_dir, snap, route=route
+            )
+            n_a, n_r = a_r.count(), r_r.count()
+            out[f"pairs_delta_{route}_sec"] = round(time.monotonic() - t0, 2)
+            out[f"pairs_delta_{route}_ok"] = (n_a, n_r) == (
+                n_added,
+                n_retracted,
+            )
 
     # 4c. durable pairs table maintained THROUGH the delta: a fresh
     # version written as old ∪ added − retracted over the small stored
