@@ -700,6 +700,24 @@ def winnow_pair_delta(
     else:
         # Mid-size append: semi-reduce the bucketed mirror (no exchange,
         # no broadcast of a too-big fp set), then carve out the old rows.
+        # Integrity check FIRST (same contract as the broadcast route's
+        # check below): the mirror carve-out anti-joins the new ids, so a
+        # re-landed doc under an existing id would be silently deleted
+        # from the old relation instead of raising — corrupting `added`
+        # and the per-fp dfs with no error. Costs one extra column-pruned
+        # pass over the old provenance (doc_id only); no broadcast hint —
+        # the new side is mid-size by this route's assumption.
+        overlap = old_raw.select("doc_id").join(new_docs, "doc_id", "semi")
+        if not overlap.isEmpty():
+            sample = [
+                r.doc_id for r in overlap.select("doc_id").limit(3).collect()
+            ]
+            raise ValueError(
+                f"winnow_pair_delta requires old/new doc_id disjointness, "
+                f"but new docs {sample}... already exist in the old "
+                "fingerprint rows (a partition re-landed under existing "
+                "ids?) — run the full winnow_dup_pairs recompute instead"
+            )
         old_rel = reduced_corpus_rel(
             corpus_fps, new_fp_set, new_docs
         ).localCheckpoint(eager=True)
@@ -711,10 +729,8 @@ def winnow_pair_delta(
     # whose old rows carry NONE of the new fps evades this check, but
     # also contributes nothing to the frames the delta computes over —
     # the dominant hazard (re-landed content → identical fps) is caught.
-    # Broadcast-route only: the mirror route CONSTRUCTS old_rel by
-    # anti-joining the new ids (nothing left to detect), and its callers
-    # derive both sides from add-dir provenance, which is disjoint by
-    # construction.
+    # (The mirror route ran its own, stronger check above — its carve-out
+    # would otherwise hide the overlap from this reduced-frame form.)
     if corpus_fps is None:
         overlap = old_rel.join(F.broadcast(new_docs), "doc_id", "semi")
         if not overlap.isEmpty():

@@ -349,7 +349,11 @@ def _takeover_stale(lock: str, stale_after: float) -> None:
     exactly the file judged. Contenders that lose the flock re-read a
     gone lock and simply re-contend."""
     mutex = lock + ".takeover"
-    with open(mutex, "a") as tm:
+    try:
+        tm_ctx = open(mutex, "a")
+    except FileNotFoundError:
+        return  # family dir rmtree'd mid-contention — caller re-contends
+    with tm_ctx as tm:
         fcntl.flock(tm.fileno(), fcntl.LOCK_EX)
         try:
             stale, _pid, _rec = _judge_stale(lock, stale_after)
@@ -400,6 +404,13 @@ def _maintenance_lock(
             finally:
                 os.close(fd)
             break
+        except FileNotFoundError:
+            # family dir rmtree'd mid-contention (locked algo-version GC
+            # removes the whole dir, lock file included): recreate and
+            # re-contend — the rebuilt dir is exactly the documented
+            # old-code-reader fallback, never a crash
+            os.makedirs(family_dir, exist_ok=True)
+            continue
         except FileExistsError:
             try:
                 stale, pid, _rec = _judge_stale(lock, stale_after)
@@ -751,11 +762,17 @@ def _compact_locked(
     manifest = _processed_parts(version_dir, _read_manifest(version_dir))
     sizes = _parquet_sizes(version_dir)
     target_files = max(1, math.ceil(sum(sizes) / target_bytes))
-    df = (
-        read_partitioned_table(spark, version_dir, partition_by[0])
-        if partition_by
-        else read_signature_table(spark, version_dir)
-    ).coalesce(target_files)
+    if partition_by:
+        # coalesce + partitionBy would write one file PER PARTITION VALUE
+        # per task (a task holds rows of many chunks), multiplying the
+        # file count the compaction exists to reduce; hash-repartitioning
+        # on the partition columns lands each chunk's rows in exactly one
+        # task → exactly one file per hive partition
+        df = read_partitioned_table(
+            spark, version_dir, partition_by[0]
+        ).repartition(target_files, *[F.col(c) for c in partition_by])
+    else:
+        df = read_signature_table(spark, version_dir).coalesce(target_files)
     return _write_version(spark, family_dir, manifest, df, partition_by)
 
 
@@ -764,11 +781,15 @@ def compact_signature_table(
     family_dir: str,
     target_bytes: int = SIG_TARGET_FILE_BYTES,
     min_files: int = 2,
+    partition_by: Optional[List[str]] = None,
 ) -> str:
     """Explicit maintenance entry point: consolidate the family's current
     version if it is over-fragmented (more parquet files than its bytes
     need, or any accumulated add dirs); no-op otherwise. Returns the
-    current version path either way; idempotent."""
+    current version path either way; idempotent. For a hive-partitioned
+    family (e.g. media), pass the SAME partition_by it was built with —
+    compacting it unpartitioned would silently drop the partition
+    column."""
     with _maintenance_lock(family_dir):
         cur = _current_version_dir(family_dir)
         if cur is None:
@@ -779,7 +800,9 @@ def compact_signature_table(
             len(sizes) < min_files or len(sizes) <= target_files
         ):
             return cur
-        return _compact_locked(spark, family_dir, cur, target_bytes)
+        return _compact_locked(
+            spark, family_dir, cur, target_bytes, partition_by
+        )
 
 
 def ensure_signature_table(
@@ -918,14 +941,16 @@ def winnow_dup_pairs_delta(
     # from both sides — its rows belong to the next delta window, and
     # counting them as old baseline would silently drop their pairs from
     # every future delta.
-    new_dirs, old_dirs, covered = [], [], set()
+    new_dirs, old_dirs, concurrent_dirs, covered = [], [], [], set()
     for p, rec in adds:
         if set(rec) <= new_parts:
             new_dirs.append(p)
             covered |= set(rec)
         elif set(rec) <= set(since):
             old_dirs.append(p)
-        # else: post-snapshot concurrent commit — outside this window
+        else:
+            # post-snapshot concurrent commit — outside this window
+            concurrent_dirs.append(p)
     if covered != new_parts:
         raise ValueError(
             "row provenance for the new parts was folded away "
@@ -955,12 +980,46 @@ def winnow_dup_pairs_delta(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
         )
         new_bytes = sum(sum(_parquet_sizes(d)) for d in new_dirs)
-        use_mirror = thresh >= 0 and new_bytes > thresh
+        # threshold -1 = broadcasting DISABLED by the admin: the mirror is
+        # the only safe route (the broadcast form's explicit hint would
+        # override the disable and ship an arbitrarily large fp set)
+        use_mirror = thresh < 0 or new_bytes > thresh
     corpus_fps = None
     if use_mirror:
+        # The mirror reflects the LIVE table — everything in the current
+        # version, including rows OUTSIDE this delta's [since, processed]
+        # window. Counting an out-of-window doc as old baseline inflates
+        # per-fp dfs (spurious cap crossings), so the mirror route is
+        # only sound when the mirror's content equals old ∪ new exactly:
+        # refuse when a concurrent commit already sits outside the window,
+        # and re-verify the version state after pinning the mirror (a
+        # rebuild swaps _CURRENT; a racing append lands a new add dir).
+        # The broadcast route reads explicit provenance paths and is
+        # immune, as is the full recompute the caller falls back to.
+        if concurrent_dirs:
+            raise ValueError(
+                "a concurrent append landed outside this delta window — "
+                "the bucketed mirror would count it as old baseline; "
+                "re-snapshot and retry, or run the full recompute"
+            )
         name = ensure_bucketed_signature_table(
             spark, sf_dir, WINNOW_FPS, key="fp"
         )
+        try:
+            if _current_version_dir(os.path.dirname(ver)) != ver:
+                raise FileNotFoundError
+            known = set(old_dirs) | set(new_dirs)
+            _b2, adds2 = _version_base_paths(ver)
+        except FileNotFoundError:
+            raise ValueError(
+                "the fingerprint table was rebuilt while pinning the "
+                "bucketed mirror — run the full recompute"
+            ) from None
+        if any(p not in known for p, _rec in adds2):
+            raise ValueError(
+                "an append landed while pinning the bucketed mirror — "
+                "re-snapshot and retry, or run the full recompute"
+            )
         corpus_fps = spark.table(name).select("doc_id", "fp")
     return winnow_pair_delta(
         old_rows, new_rows, max_df=max_df, corpus_fps=corpus_fps
@@ -975,6 +1034,36 @@ def _pairs_family_tag(max_df: int) -> str:
     fps family itself (family_dir_for only auto-tags the base families)."""
     fps_ver = FAMILY_ALGO_VERSION.get(WINNOW_FPS, 1)
     return f"winnow_pairs-df{max_df}-fa{fps_ver}"
+
+
+def _gc_stale_pairs_versions(family_dir: str, max_df: int) -> None:
+    """Reclaim sibling pairs-family dirs built against an OLDER WINNOW_FPS
+    algo version (the fa<N> suffix of _pairs_family_tag): nothing resolves
+    them again once the fingerprint kernel moved on, and each holds a full
+    pair-table copy. Same locked-rmtree discipline as
+    _gc_stale_algo_versions (which cannot see these — its patterns only
+    match the base families)."""
+    cur_ver = FAMILY_ALGO_VERSION.get(WINNOW_FPS, 1)
+    prefix = f"winnow_pairs-df{max_df}-fa"
+    parent = os.path.dirname(family_dir)
+    try:
+        names = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for n in names:
+        if not n.startswith(prefix):
+            continue
+        try:
+            ver = int(n[len(prefix):])
+        except ValueError:
+            continue
+        if ver < cur_ver:
+            old_dir = os.path.join(parent, n)
+            try:
+                with _maintenance_lock(old_dir, timeout=1.0):
+                    shutil.rmtree(old_dir, ignore_errors=True)
+            except TimeoutError:  # pragma: no cover — live old maintainer
+                continue
 
 
 def _pairs_full_df(spark: SparkSession, sf_dir: str, max_df: int) -> DataFrame:
@@ -1017,6 +1106,7 @@ def ensure_dup_pairs_table(
     family_dir = family_dir_for(
         _docs_parquet_path(sf_dir), _pairs_family_tag(max_df)
     )
+    _gc_stale_pairs_versions(family_dir, max_df)
     cur = _current_version_dir(family_dir)
     if cur is not None and _read_manifest(cur) == fps_snapshot:
         return cur

@@ -292,8 +292,15 @@ def main(argv=None):
     # twins are confined to the appended range, so the expectation is
     # exact: added == the new range's twins, nothing retracted (no
     # df-cap crossing in this collision-free corpus).
+    # route pinned to "broadcast" so pairs_delta_sec keeps the meaning it
+    # had in earlier rounds (the auto route would take the mirror path at
+    # this append size and pay a one-time post-append mirror rebuild
+    # inside the timed window); the mirror route is timed separately
+    # under --routes with that rebuild excluded
     t0 = time.monotonic()
-    added_df, retracted_df = winnow_dup_pairs_delta(spark, base_dir, snap)
+    added_df, retracted_df = winnow_dup_pairs_delta(
+        spark, base_dir, snap, route="broadcast"
+    )
     n_added, n_retracted = added_df.count(), retracted_df.count()
     out["pairs_delta_sec"] = round(time.monotonic() - t0, 2)
     out["pairs_added"] = n_added
@@ -420,6 +427,8 @@ def main(argv=None):
         and out["pairs_base"] == out["pairs_base_expected"]
         and out["pairs_after_append"] == out["pairs_after_expected"]
         and out["pairs_delta_ok"]
+        and out.get("pairs_delta_broadcast_ok", True)
+        and out.get("pairs_delta_mirror_ok", True)
         and out["pairs_table_new_version"]
         and out["pairs_table_identical"]
         and out["clusters_ok"]

@@ -450,3 +450,116 @@ def test_mirror_reduction_never_exchanges_corpus_side(
         p_mirror,
         p_plain,
     )
+
+
+# --- round-6 review regressions --------------------------------------------------
+def test_mirror_route_rejects_overlapping_doc_ids(spark):
+    """The mirror carve-out anti-joins the new ids, so without its own
+    check a re-landed doc would be silently DELETED from the old relation
+    (review F1) — both routes must raise identically."""
+    old = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "doc_id bigint, fp bigint"
+    )
+    relanded = spark.createDataFrame(
+        [(2, 7), (10, 9)], "doc_id bigint, fp bigint"
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        winnow_pair_delta(
+            old, relanded, max_df=4, corpus_fps=old.unionByName(relanded)
+        )
+
+
+def test_mirror_route_refuses_out_of_window_add_dir(
+    spark, tmp_path, monkeypatch
+):
+    """The bucketed mirror reflects the LIVE table; an add dir outside the
+    delta's [since, processed] window would be counted as old baseline
+    (inflated dfs, spurious cap crossings — review F3). The mirror route
+    must refuse; the broadcast route (explicit provenance paths) still
+    answers."""
+    import shutil
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    ver = sig.ensure_signature_table(spark, sf, sig.WINNOW_FPS)
+    src = next(
+        os.path.join(ver, n) for n in os.listdir(ver) if n.startswith("add-")
+    )
+    foreign = os.path.join(ver, "add-feedfacecafe")
+    shutil.copytree(src, foreign)
+    with open(os.path.join(foreign, "_parts.json"), "w") as f:
+        f.write('{"part-future.parquet": "999:999"}')
+    # a TRULY out-of-window dir is one the delta's processed snapshot
+    # missed (it landed between the snapshot read and the dir listing):
+    # simulate by hiding its part from _processed_parts
+    real_pp = sig._processed_parts
+
+    def pp_missing_future(ver_dir, manifest):
+        d = real_pp(ver_dir, manifest)
+        d.pop("part-future.parquet", None)
+        return d
+
+    monkeypatch.setattr(sig, "_processed_parts", pp_missing_future)
+    try:
+        with pytest.raises(ValueError, match="outside this delta window"):
+            sig.winnow_dup_pairs_delta(spark, sf, snap, route="mirror")
+        a, r = sig.winnow_dup_pairs_delta(spark, sf, snap, route="broadcast")
+        assert _pair_set(a)
+    finally:
+        shutil.rmtree(foreign)
+
+
+def test_auto_route_uses_mirror_when_broadcast_disabled(
+    spark, tmp_path, monkeypatch
+):
+    """autoBroadcastJoinThreshold=-1 means the admin DISABLED broadcasting;
+    the broadcast route's explicit hint would override that and ship an
+    arbitrarily large fp set (review F4) — auto must pick the mirror."""
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    calls = {"mirror": 0}
+    real = sig.ensure_bucketed_signature_table
+
+    def counting(*a, **k):
+        calls["mirror"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sig, "ensure_bucketed_signature_table", counting)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, r = map(
+            _pair_set, sig.winnow_dup_pairs_delta(spark, sf, snap, route="auto")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert calls["mirror"] == 1
+    a_b, r_b = map(
+        _pair_set, sig.winnow_dup_pairs_delta(spark, sf, snap, route="broadcast")
+    )
+    assert (a, r) == (a_b, r_b)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sig_winnow_fps"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_stale_pairs_family_gc(tmp_path, monkeypatch):
+    """A WINNOW_FPS algo bump must reclaim old fa<N> pairs dirs (review
+    F5) — _gc_stale_algo_versions cannot see them (pattern mismatch)."""
+    monkeypatch.setitem(sig.FAMILY_ALGO_VERSION, sig.WINNOW_FPS, 3)
+    parent = tmp_path / "corpuskey"
+    cur_dir = parent / "winnow_pairs-df64-fa3"
+    old_dir = parent / "winnow_pairs-df64-fa2"
+    other_df = parent / "winnow_pairs-df32-fa2"  # different df param
+    for d in (cur_dir, old_dir, other_df):
+        d.mkdir(parents=True)
+    sig._gc_stale_pairs_versions(str(cur_dir), 64)
+    assert cur_dir.is_dir(), "current version must survive"
+    assert not old_dir.exists(), "older fa version reclaimed"
+    assert other_df.is_dir(), "a different max_df family is not ours to GC"

@@ -582,3 +582,77 @@ def test_media_table_partition_pruning(spark, tmp_path, monkeypatch):
         for r in media.select("doc_id").distinct().collect()
     }
     assert max(all_ids) >= doc_id_for(150), "append dir rows missing"
+
+
+def test_lock_contender_survives_family_dir_gc(tmp_path):
+    """Review F2: the locked algo-version GC rmtrees a family dir WHILE a
+    contender waits on its lock. The contender's next os.open lands in a
+    deleted directory — it must recreate the dir and acquire, not crash
+    with an unhandled FileNotFoundError."""
+    import threading
+    import time as t
+
+    fam = str(tmp_path / "fam")
+    os.makedirs(fam)
+    lock = os.path.join(fam, "_lock")
+    with open(lock, "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),
+                "ts": 0.0,
+                "start": sig._proc_start(os.getpid()),
+            },
+            f,
+        )  # live holder → contender waits
+    acquired, errors = [], []
+
+    def contend():
+        try:
+            with sig._maintenance_lock(fam, timeout=30.0):
+                acquired.append(True)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th = threading.Thread(target=contend)
+    th.start()
+    t.sleep(0.4)  # contender is in its wait loop
+    shutil.rmtree(fam)  # the GC strikes, lock file and all
+    th.join(60)
+    assert not errors and acquired, (errors, acquired)
+    assert os.path.isdir(fam), "dir recreated by the surviving contender"
+
+
+def test_takeover_stale_quiet_when_dir_gone(tmp_path):
+    sig._takeover_stale(str(tmp_path / "nowhere" / "_lock"), stale_after=1.0)
+
+
+def test_partitioned_auto_compaction_keeps_chunks_one_file_each(
+    spark, tmp_path, monkeypatch
+):
+    """Review F6: compaction of a hive-partitioned family must preserve
+    the partition column AND not multiply files (coalesce+partitionBy
+    writes one file per chunk PER TASK) — exactly one file per chunk."""
+    import deed_ocr_spark.multimodal as mm
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(mm, "MEDIA_CHUNK_DOCS", 50)
+    monkeypatch.setattr(sig, "SIG_COMPACT_AFTER", 2)
+    p = mm.ensure_media_table(spark, 100, seed=13)
+    before = {
+        tuple(r)
+        for r in mm.read_media_table(spark, p)
+        .select("doc_id", "media_ref", "chunk")
+        .collect()
+    }
+    mm.ensure_media_table(spark, 150, seed=13)  # add dir 1
+    p2 = mm.ensure_media_table(spark, 200, seed=13)  # add dir 2 → compact
+    assert p2 != p and sig._add_dir_count(p2) == 0, "auto-compaction ran"
+    got = mm.read_media_table(spark, p2).select(
+        "doc_id", "media_ref", "chunk"
+    )
+    assert {tuple(r) for r in got.filter("chunk < 2").collect()} == before
+    for n in os.listdir(p2):
+        d = os.path.join(p2, n)
+        if n.startswith("chunk=") and os.path.isdir(d):
+            files = [m for m in os.listdir(d) if m.endswith(".parquet")]
+            assert len(files) == 1, (n, files)
