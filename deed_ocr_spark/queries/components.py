@@ -263,6 +263,130 @@ def canonical_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti")
 
 
+# --- incremental label maintenance ---------------------------------------------
+def update_components(
+    old_labels: DataFrame,
+    current_pairs: DataFrame,
+    added: DataFrame,
+    retracted: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Maintain (doc_id, component) labels under a pair DELTA instead of
+    re-clustering the corpus: given labels for graph G and the
+    (added, retracted) edge delta producing G' (``current_pairs`` —
+    e.g. the freshly-maintained durable pairs table), return
+    connected_components(G') — property-tested equal to the recompute.
+
+    The day-2 economics: relabeling work is proportional to the DELTA's
+    reach, never the corpus. Additions only ever MERGE clusters, so they
+    are solved on a CONTRACTED graph whose nodes are old cluster labels
+    (one super-edge per added pair). Retractions can SPLIT, but only the
+    clusters that carried a retracted edge — and because components
+    partition the graph (every surviving G' edge incident to an affected
+    cluster stays inside affected clusters; cross-cluster edges in G' are
+    exactly the additions), those clusters' node-level subgraphs are
+    re-solved from ``current_pairs`` restricted to their nodes. Both
+    reduced edge sets feed ONE star-contraction run; final labels
+    compose: affected/new nodes take the reduced solution directly,
+    unaffected nodes follow their old cluster's (possibly merged) label.
+    Labels stay canonical (min doc id): an unaffected supernode's id IS
+    its cluster minimum, so the reduced run's min-label is the true min
+    of any merged cluster.
+
+    Nodes that lose their last edge drop out of the result, matching
+    connected_components' domain (nodes appearing in some pair)."""
+    old = old_labels.select("doc_id", "component")
+    add_e = _canonical_edges(added, src, dst)
+    retr_e = _canonical_edges(retracted, src, dst)
+
+    # clusters wounded by a retraction → their full node sets re-solve
+    wounded = (
+        old.join(
+            _symmetrize(retr_e).select(F.col("u").alias("doc_id")).distinct(),
+            "doc_id",
+            "semi",
+        )
+        .select("component")
+        .distinct()
+    )
+    aff_nodes = old.join(wounded, "component", "semi").select("doc_id")
+    # rep: identity for affected nodes and brand-new docs (absent rows →
+    # coalesce to the node itself), old cluster label otherwise
+    rep = old.join(aff_nodes, "doc_id", "left_anti")
+
+    def contracted(e: DataFrame) -> DataFrame:
+        for side in ("u", "v"):
+            e = (
+                e.join(
+                    rep.select(
+                        F.col("doc_id").alias(side),
+                        F.col("component").alias(f"_{side}"),
+                    ),
+                    side,
+                    "left",
+                )
+                .withColumn(side, F.coalesce(f"_{side}", side))
+                .drop(f"_{side}")
+            )
+        return e
+
+    cur_e = _canonical_edges(current_pairs, src, dst)
+    sub_e = cur_e.join(
+        aff_nodes.withColumnRenamed("doc_id", "u"), "u", "semi"
+    )  # components partition G: both endpoints of a non-added edge
+    # incident to an affected cluster lie inside affected clusters
+    reduced = contracted(add_e).unionByName(sub_e).filter("u != v")
+    labels_r = connected_components(
+        reduced.select(F.col("u").alias(src), F.col("v").alias(dst))
+    )
+
+    new_docs = (
+        _symmetrize(add_e)
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+        .join(old, "doc_id", "left_anti")
+    )
+    direct = labels_r.join(
+        aff_nodes.unionByName(new_docs).distinct(), "doc_id", "semi"
+    )
+    merged = labels_r.select(
+        F.col("doc_id").alias("component"),
+        F.col("component").alias("_m"),
+    )
+    carried = (
+        rep.join(merged, "component", "left")
+        .select(
+            "doc_id", F.coalesce("_m", "component").alias("component")
+        )
+    )
+    return carried.unionByName(direct)
+
+
+def dup_components_incremental(
+    spark: SparkSession, sf_dir: str, old_labels: DataFrame,
+    since: dict, max_df: int = 64,
+) -> DataFrame:
+    """Table-level composition: pair delta from the fingerprint table's
+    add-dir provenance (signatures.winnow_dup_pairs_delta) + the durable
+    pairs table brought current (ensure_dup_pairs_table) + label
+    maintenance (update_components). ``since`` is the processed_parts
+    snapshot ``old_labels`` was computed against; raises ValueError (run
+    the full dup_components) when provenance is insufficient, exactly
+    like the pair delta itself."""
+    from deed_ocr_spark.signatures import (
+        ensure_dup_pairs_table,
+        read_signature_table,
+        winnow_dup_pairs_delta,
+    )
+
+    added, retracted = winnow_dup_pairs_delta(spark, sf_dir, since, max_df)
+    pairs_now = read_signature_table(
+        spark, ensure_dup_pairs_table(spark, sf_dir, max_df)
+    )
+    return update_components(old_labels, pairs_now, added, retracted)
+
+
 # --- driver registry -----------------------------------------------------------
 def _d16_oracle_sql() -> str:
     """Recursive-CTE components oracle: d7's pair SQL symmetrized, then

@@ -266,6 +266,15 @@ def main(argv=None):
     pairs_ver_base = ensure_dup_pairs_table(spark, base_dir)
     out["pairs_table_build_sec"] = round(time.monotonic() - t0, 2)
 
+    # 2c. baseline cluster labels (input to the incremental phase 7b)
+    from deed_ocr_spark.queries.components import connected_components
+
+    t0 = time.monotonic()
+    comp_base = connected_components(
+        read_signature_table(spark, pairs_ver_base)
+    ).localCheckpoint(eager=True)
+    out["components_base_sec"] = round(time.monotonic() - t0, 2)
+
     # 3. a day's partition lands: +10% as NEW part files
     t0 = time.monotonic()
     write_corpus(
@@ -420,6 +429,21 @@ def main(argv=None):
         and int(agg["n_wellformed"]) == int(agg["n_docs"])
     )
 
+    # 7b. incremental labels: baseline labels + the pair delta, without
+    # re-clustering — must match the full phase-7 resolution exactly
+    from deed_ocr_spark.queries.components import update_components
+
+    t0 = time.monotonic()
+    comp_incr = update_components(
+        comp_base,
+        read_signature_table(spark, pairs_ver_incr),
+        added_df,
+        retracted_df,
+    )
+    d_comp_incr = _digest(comp_incr)
+    out["components_incr_sec"] = round(time.monotonic() - t0, 2)
+    out["components_incr_identical"] = d_comp_incr == _digest(comp)
+
     ok = (
         out["table_identical"]
         and out["pairs_identical"]
@@ -432,6 +456,7 @@ def main(argv=None):
         and out["pairs_table_new_version"]
         and out["pairs_table_identical"]
         and out["clusters_ok"]
+        and out["components_incr_identical"]
     )
     out["ok"] = ok
     print(json.dumps(out))

@@ -154,3 +154,97 @@ def test_d16_registered_with_oracle_and_matches_union_find(spark):
         for r in d16_dup_components(spark, sf).collect()
     }
     assert got == _union_find(pairs) and got
+
+
+# --- incremental label maintenance (round 6) ------------------------------------
+def _labels(df):
+    return {r["doc_id"]: r["component"] for r in df.collect()}
+
+
+def _run_update(spark, old_edges, added, retracted):
+    """update_components vs connected_components on the post-delta graph."""
+    from deed_ocr_spark.queries.components import update_components
+
+    def edf(pairs):
+        return spark.createDataFrame(
+            pairs or [(None, None)], "doc_a bigint, doc_b bigint"
+        ).filter("doc_a is not null")
+
+    cur = sorted((set(old_edges) | set(added)) - set(retracted))
+    old_lab = _run(spark, old_edges)  # dict from union-find-checked helper
+    old_df = spark.createDataFrame(
+        list(old_lab.items()) or [(None, None)],
+        "doc_id bigint, component bigint",
+    ).filter("doc_id is not null")
+    got = _labels(
+        update_components(old_df, edf(cur), edf(added), edf(retracted))
+    )
+    want = _union_find(cur)
+    assert got == want, (old_edges, added, retracted, got, want)
+
+
+def test_update_components_merges_only(spark):
+    # two clusters {1,2} {5,6}, a new edge merges them through a new doc
+    _run_update(spark, [(1, 2), (5, 6)], [(2, 9), (9, 5)], [])
+
+
+def test_update_components_split(spark):
+    # chain 1-2-3-4 loses its middle edge → two clusters
+    _run_update(spark, [(1, 2), (2, 3), (3, 4)], [], [(2, 3)])
+
+
+def test_update_components_split_and_merge(spark):
+    _run_update(
+        spark,
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 10)],
+        [(1, 2)],
+    )
+
+
+def test_update_components_node_loses_all_edges(spark):
+    # doc 2's only edge retracts → it must vanish from the labels
+    _run_update(spark, [(1, 2), (5, 6)], [], [(1, 2)])
+
+
+def test_update_components_noop_delta(spark):
+    _run_update(spark, [(1, 2), (2, 3)], [], [])
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_update_components_random_property(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(24))
+    old = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(rng.randrange(6, 18))
+    }
+    added = {
+        tuple(sorted((rng.randrange(30), rng.randrange(30))))
+        for _ in range(rng.randrange(0, 6))
+    }
+    added = {(a, b) for a, b in added if a != b} - old
+    retracted = set(rng.sample(sorted(old), rng.randrange(0, len(old) // 2 + 1)))
+    _run_update(spark, sorted(old), sorted(added), sorted(retracted))
+
+
+def test_dup_components_incremental_matches_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """Table-level flow: labels at T0 + corpus append → incremental labels
+    equal a full dup_components over the appended corpus."""
+    import deed_ocr_spark.signatures as sig
+    from deed_ocr_spark.queries.components import (
+        dup_components,
+        dup_components_incremental,
+    )
+    from tests.test_pair_delta import _write_docs
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    old_labels = dup_components(spark, sf).localCheckpoint(eager=True)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+    got = _labels(dup_components_incremental(spark, sf, old_labels, snap))
+    want = _labels(dup_components(spark, sf))
+    assert got == want and got
