@@ -295,10 +295,19 @@ def update_components(
     of any merged cluster.
 
     Nodes that lose their last edge drop out of the result, matching
-    connected_components' domain (nodes appearing in some pair)."""
+    connected_components' domain (nodes appearing in some pair).
+
+    ``old_labels`` should arrive materialized (a table scan or a
+    checkpointed frame): its lineage is evaluated a few times below, and
+    re-running a full clustering per evaluation would defeat the point.
+    The DELTA frames are checkpointed here exactly once — a caller
+    passing the lazy |new|×corpus delta query must not pay that join per
+    downstream action."""
     old = old_labels.select("doc_id", "component")
-    add_e = _canonical_edges(added, src, dst)
-    retr_e = _canonical_edges(retracted, src, dst)
+    add_e = _canonical_edges(added, src, dst).localCheckpoint(eager=True)
+    retr_e = _canonical_edges(retracted, src, dst).localCheckpoint(
+        eager=True
+    )
 
     # clusters wounded by a retraction → their full node sets re-solve
     wounded = (
@@ -310,7 +319,11 @@ def update_components(
         .select("component")
         .distinct()
     )
-    aff_nodes = old.join(wounded, "component", "semi").select("doc_id")
+    aff_nodes = (
+        old.join(wounded, "component", "semi")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     # rep: identity for affected nodes and brand-new docs (absent rows →
     # coalesce to the node itself), old cluster label otherwise
     rep = old.join(aff_nodes, "doc_id", "left_anti")
@@ -331,14 +344,21 @@ def update_components(
             )
         return e
 
-    cur_e = _canonical_edges(current_pairs, src, dst)
-    sub_e = cur_e.join(
+    # raw projection, NO distinct: a pre-semi distinct would aggregate
+    # the whole corpus-scale pair graph before the delta-sized restriction
+    # (Catalyst cannot push a semi-join below an Aggregate), and
+    # connected_components dedups its input anyway. Components partition
+    # G: both endpoints of a non-added edge incident to an affected
+    # cluster lie inside affected clusters, so the u-side semi suffices.
+    cur_raw = current_pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sub_e = cur_raw.join(
         aff_nodes.withColumnRenamed("doc_id", "u"), "u", "semi"
-    )  # components partition G: both endpoints of a non-added edge
-    # incident to an affected cluster lie inside affected clusters
+    )
     reduced = contracted(add_e).unionByName(sub_e).filter("u != v")
     labels_r = connected_components(
-        reduced.select(F.col("u").alias(src), F.col("v").alias(dst))
+        reduced.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
     )
 
     new_docs = (
@@ -369,21 +389,41 @@ def dup_components_incremental(
 ) -> DataFrame:
     """Table-level composition: pair delta from the fingerprint table's
     add-dir provenance (signatures.winnow_dup_pairs_delta) + the durable
-    pairs table brought current (ensure_dup_pairs_table) + label
+    pairs table brought current (ensure_dup_pairs_table, REUSING the same
+    delta via delta_hint so the |new|×corpus join runs once) + label
     maintenance (update_components). ``since`` is the processed_parts
     snapshot ``old_labels`` was computed against; raises ValueError (run
-    the full dup_components) when provenance is insufficient, exactly
-    like the pair delta itself."""
+    the full dup_components) when provenance is insufficient — including
+    when a CONCURRENT append widened the pairs table's window past this
+    delta's: update_components' precondition is current_pairs == old ∪
+    added − retracted, and a silently wider table would drop the
+    concurrent docs' labels and merges with no error."""
     from deed_ocr_spark.signatures import (
+        _read_manifest,
         ensure_dup_pairs_table,
         read_signature_table,
         winnow_dup_pairs_delta,
     )
 
-    added, retracted = winnow_dup_pairs_delta(spark, sf_dir, since, max_df)
-    pairs_now = read_signature_table(
-        spark, ensure_dup_pairs_table(spark, sf_dir, max_df)
+    window: dict = {}
+    added, retracted = winnow_dup_pairs_delta(
+        spark, sf_dir, since, max_df, window=window
     )
+    added = added.localCheckpoint(eager=True)
+    retracted = retracted.localCheckpoint(eager=True)
+    ver = ensure_dup_pairs_table(
+        spark,
+        sf_dir,
+        max_df,
+        delta_hint=(since, window["parts"], added, retracted),
+    )
+    if _read_manifest(ver) != window["parts"]:
+        raise ValueError(
+            "the durable pairs table covers a wider window than this "
+            "label delta (a concurrent append landed) — recompute labels "
+            "with the full dup_components"
+        )
+    pairs_now = read_signature_table(spark, ver)
     return update_components(old_labels, pairs_now, added, retracted)
 
 

@@ -891,6 +891,7 @@ def winnow_dup_pairs_delta(
     since: dict,
     max_df: int = 64,
     route: str = "auto",
+    window: Optional[dict] = None,
 ):
     """(added, retracted) dup-pair delta since the ``since`` snapshot
     (from :func:`processed_parts`): the incremental form of d13's pair
@@ -932,6 +933,12 @@ def winnow_dup_pairs_delta(
             "full winnow_dup_pairs query instead"
         )
     new_parts = {k for k in processed if k not in since}
+    if window is not None:
+        # the exact [since, processed] coverage of this delta — callers
+        # composing it with other snapshots (the incremental label
+        # maintenance, the durable pairs table) compare against this to
+        # detect a concurrent append widening THEIR window past ours
+        window["parts"] = dict(processed)
     base, adds = _version_base_paths(ver)
     # Three-way add-dir classification against the [since, processed]
     # window. A dir whose parts are neither all-old nor all-new was
@@ -1079,7 +1086,10 @@ def _pairs_full_df(spark: SparkSession, sf_dir: str, max_df: int) -> DataFrame:
 
 
 def ensure_dup_pairs_table(
-    spark: SparkSession, sf_dir: str, max_df: int = 64
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int = 64,
+    delta_hint: Optional[tuple] = None,
 ) -> str:
     """Durable (doc_a, doc_b) duplicate-pair table (d13's min_shared=1
     pair set), incrementally maintained; returns the current VERSION dir.
@@ -1101,7 +1111,12 @@ def ensure_dup_pairs_table(
 
     The manifest records the WINNOW_FPS processed-parts snapshot the pair
     set reflects, making staleness structural exactly like every other
-    family. min_shared is pinned to 1 (the delta's contract)."""
+    family. min_shared is pinned to 1 (the delta's contract).
+
+    ``delta_hint`` = (since, end_parts, added_df, retracted_df): a delta
+    the caller already computed for exactly this window — reused (saving
+    the |new|×corpus join) only when both endpoints match the table's
+    own [manifest, fps snapshot] window; otherwise ignored."""
     fps_snapshot = processed_parts(spark, sf_dir, WINNOW_FPS)
     family_dir = family_dir_for(
         _docs_parquet_path(sf_dir), _pairs_family_tag(max_df)
@@ -1123,9 +1138,23 @@ def ensure_dup_pairs_table(
             and all(fps_snapshot.get(k) == v for k, v in old_snap.items())
         ):
             try:
-                added, retracted = winnow_dup_pairs_delta(
-                    spark, sf_dir, old_snap, max_df=max_df
-                )
+                # A caller that already computed THIS window's delta (the
+                # incremental label maintenance) passes it as
+                # (since, end_parts, added, retracted); reusing it only
+                # when BOTH endpoints match keeps the manifest honest —
+                # applying a narrower hinted delta while recording the
+                # wider fps_snapshot would silently drop the concurrent
+                # parts' pairs from the table forever.
+                if (
+                    delta_hint is not None
+                    and delta_hint[0] == old_snap
+                    and delta_hint[1] == fps_snapshot
+                ):
+                    added, retracted = delta_hint[2], delta_hint[3]
+                else:
+                    added, retracted = winnow_dup_pairs_delta(
+                        spark, sf_dir, old_snap, max_df=max_df
+                    )
                 old_pairs = read_signature_table(spark, cur).select(
                     "doc_a", "doc_b"
                 )

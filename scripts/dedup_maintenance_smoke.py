@@ -267,7 +267,10 @@ def main(argv=None):
     out["pairs_table_build_sec"] = round(time.monotonic() - t0, 2)
 
     # 2c. baseline cluster labels (input to the incremental phase 7b)
-    from deed_ocr_spark.queries.components import connected_components
+    from deed_ocr_spark.queries.components import (
+        connected_components,
+        update_components,
+    )
 
     t0 = time.monotonic()
     comp_base = connected_components(
@@ -406,8 +409,6 @@ def main(argv=None):
     # one 2-doc cluster per pair, component min == the base doc id.
     from pyspark.sql import functions as F
 
-    from deed_ocr_spark.queries.components import connected_components
-
     t0 = time.monotonic()
     comp = connected_components(
         read_signature_table(spark, pairs_ver_incr)
@@ -431,8 +432,6 @@ def main(argv=None):
 
     # 7b. incremental labels: baseline labels + the pair delta, without
     # re-clustering — must match the full phase-7 resolution exactly
-    from deed_ocr_spark.queries.components import update_components
-
     t0 = time.monotonic()
     comp_incr = update_components(
         comp_base,

@@ -248,3 +248,62 @@ def test_dup_components_incremental_matches_recompute(
     got = _labels(dup_components_incremental(spark, sf, old_labels, snap))
     want = _labels(dup_components(spark, sf))
     assert got == want and got
+
+
+def test_dup_components_incremental_single_delta_and_race_refusal(
+    spark, tmp_path, monkeypatch
+):
+    """Round-6 second review: (a) the incremental flow computes the
+    |new|×corpus delta exactly ONCE (ensure_dup_pairs_table reuses it via
+    delta_hint), and (b) a concurrent append widening the pairs table's
+    window past the label delta's raises instead of silently dropping the
+    concurrent docs' labels."""
+    import deed_ocr_spark.signatures as sig
+    from deed_ocr_spark.queries.components import (
+        dup_components,
+        dup_components_incremental,
+    )
+    from tests.test_pair_delta import _write_docs
+
+    monkeypatch.setattr(sig, "SIG_CACHE_ROOT", str(tmp_path / "cache"))
+    sf = str(tmp_path / "sf")
+    _write_docs(spark, sf, 0, 60, 2, "overwrite")
+    snap = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    old_labels = dup_components(spark, sf).localCheckpoint(eager=True)
+    _write_docs(spark, sf, 60, 90, 1, "append")
+
+    calls = {"n": 0}
+    real_delta = sig.winnow_dup_pairs_delta
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real_delta(*a, **k)
+
+    monkeypatch.setattr(sig, "winnow_dup_pairs_delta", counting)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dup_components_incremental(spark, sf, old_labels, snap)
+        .collect()
+    }
+    assert calls["n"] == 1, "delta must run once (hint reused by ensure)"
+    assert got == {
+        r["doc_id"]: r["component"]
+        for r in dup_components(spark, sf).collect()
+    }
+
+    # (b) the race: another append lands between the label delta and the
+    # pairs-table ensure — the table's window is wider, labels must refuse
+    snap2 = sig.processed_parts(spark, sf, sig.WINNOW_FPS)
+    labels2 = dup_components(spark, sf).localCheckpoint(eager=True)
+    _write_docs(spark, sf, 90, 120, 1, "append")
+
+    def delta_then_concurrent_append(*a, **k):
+        out = real_delta(*a, **k)
+        _write_docs(spark, sf, 120, 150, 1, "append")
+        return out
+
+    monkeypatch.setattr(
+        sig, "winnow_dup_pairs_delta", delta_then_concurrent_append
+    )
+    with pytest.raises(ValueError, match="wider window"):
+        dup_components_incremental(spark, sf, labels2, snap2)
