@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from deed_ocr_spark.corpus import corpus_df
-from deed_ocr_spark.job import extract_spans, extract_summaries
+from deed_ocr_spark.job import extract_spans
 
 CORPUS_SEED = 42
 
@@ -29,6 +29,49 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_df(spark, _corpus_size(sf_dir), seed=CORPUS_SEED)
 
 
+# --- fused generate+extract kernels (round-7 optimization) -------------------
+# The unfused form chains TWO Python stages in one Spark stage:
+# range → mapInPandas(generate) → mapInArrow(extract/merge). Even with no
+# shuffle between them, every generated span crosses Python→JVM as Arrow,
+# is immediately handed back JVM→Python to the second worker, and pays the
+# Arrow list<struct> ↔ pandas conversion twice (guide §4.1: you control how
+# many columns/bytes cross the boundary). Fusing generation and extraction
+# into ONE mapInPandas keeps the span payload inside a single Python worker
+# — only the final (small) result rows cross. Same pure functions in the
+# same order, so rows are byte-identical to the unfused path
+# (tests/test_fused_extraction.py); x1 keeps the unfused shape because the
+# bench's flagship measurement feeds extract_spans from a PARQUET corpus
+# (the production shape — there generation is the scan).
+def _fused_corpus_map(
+    spark: SparkSession, sf_dir: str, flat_to_out, out_ddl: str
+) -> DataFrame:
+    from deed_ocr_spark.corpus import gen_docs_pandas
+    from deed_ocr_spark.extract import _explode_batch, _extract_flat
+
+    n_docs = _corpus_size(sf_dir)
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            pdf = gen_docs_pandas(b["id"].to_numpy(), CORPUS_SEED)
+            flat = _explode_batch(pdf)
+            if not len(flat):
+                continue
+            out = flat_to_out(_extract_flat(flat))
+            if out is not None:
+                yield out
+
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    return spark.range(0, n_docs, 1, par).mapInPandas(kernel, out_ddl)
+
+
+def _fused_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deed_ocr_spark.extract import DOC_SUMMARY_DDL, _doc_summaries
+
+    return _fused_corpus_map(spark, sf_dir, _doc_summaries, DOC_SUMMARY_DDL)
+
+
 # --- X1: the flagship — full interleaved-span extraction ---------------------
 def x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(_corpus(spark, sf_dir))
@@ -36,7 +79,7 @@ def x1_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2: per-document summaries (reference merge semantics, fused) -----------
 def x2_doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = extract_summaries(_corpus(spark, sf_dir))
+    out = _fused_summaries(spark, sf_dir)
     # arrays → stable string form so the driver's rows-only check is tidy
     return out.select(
         "doc_id",
@@ -90,7 +133,7 @@ def x3_doc_summaries_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # own functions (get_json_object below), so downstream pipelines consume it
 # relationally without re-parsing in Python.
 def x4_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = extract_summaries(_corpus(spark, sf_dir))
+    out = _fused_summaries(spark, sf_dir)
     return out.select(
         "doc_id",
         F.get_json_object("details_json", "$.document_type").alias("document_type"),
@@ -114,13 +157,11 @@ def x4_doc_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the threshold is a relational filter so it shows in the plan (and can be
 # pushed/retuned without touching the kernel).
 def x5_descriptions_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deed_ocr_spark.extract import (
-        DESC_OUT_DDL,
-        extract_descriptions_batches_arrow,
-    )
+    from deed_ocr_spark.extract import DESC_OUT_DDL, _descriptions_from_flat
 
-    src = _corpus(spark, sf_dir).select("doc_id", "spans")
-    descs = src.mapInArrow(extract_descriptions_batches_arrow, DESC_OUT_DDL)
+    descs = _fused_corpus_map(
+        spark, sf_dir, _descriptions_from_flat, DESC_OUT_DDL
+    )
     return descs.filter(F.col("confidence") > 0.5)
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from deed_ocr_spark.queries.common import t
+from deed_ocr_spark.queries.common import rebalanced, t
 
 
 # --- P1/P6: filter + project (predicate pushdown reaches the scan) -------
@@ -222,7 +222,12 @@ def j4_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J1: equi + range predicate join --------------------------------------
 def j1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    # Deliberate join strategy (guide §3.1): both sides are fact-sized (no
+    # broadcast), but orders is the smaller — SHUFFLE_HASH builds its hash
+    # table per partition and skips BOTH sides' sorts that the default
+    # sort-merge pays; the range predicate stays a residual on the
+    # l_orderkey equi-join either way (plan-locked in tests/test_plans.py).
+    o = t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
     return (
         l.join(o, (l["l_orderkey"] == o["o_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]))
         .groupBy("o_orderpriority")
@@ -262,7 +267,19 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W2/W4: top-k per group via window ------------------------------------
 def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = t(spark, sf_dir, "lineitem")
+    # Project to the three live columns, then hash-repartition on the
+    # window key when the scan cannot parallelize (single-file table —
+    # see common.rebalanced): the window's own exchange is keyed the same,
+    # so the plan still has exactly ONE Exchange, but the sort feeding
+    # WindowGroupLimit runs at full width instead of at the scan's 1–6
+    # tasks. At production split counts the repartition vanishes and the
+    # engine's partial WindowGroupLimit (map-side top-k) is unchanged.
+    l = rebalanced(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        "l_orderkey",
+    )
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
     )

@@ -16,7 +16,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from deed_ocr_spark.queries.common import t
+from deed_ocr_spark.queries.common import rebalanced, t
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, hash-repartitioned when its file count is
+    below the cluster parallelism (common.rebalanced): the sandbox table
+    is ONE parquet file with ONE row group, so every per-vector dot/norm
+    pipeline otherwise runs single-task. The tiny broadcast subtrees
+    (query vector, hyperplanes, centroids) keep reading the raw scan —
+    they don't need the exchange."""
+    return rebalanced(t(spark, sf_dir, "embeddings"), "vec_id")
 
 
 def _dot(a, b):
@@ -39,8 +49,10 @@ def _norm(a):
 
 # --- E1: brute-force cosine top-k against a query vector --------------------
 def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    e = _emb(spark, sf_dir)
+    q = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
     cos = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
@@ -55,9 +67,9 @@ def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- E2: sign-LSH bucketing (the ANN scale path) -----------------------------
 def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     planes = (
-        e.filter(F.col("vec_id").isin(1, 2, 3, 4))
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isin(1, 2, 3, 4))
         .select("vec_id", F.col("embedding").alias("plane"))
         .withColumnRenamed("vec_id", "plane_id")
     )
@@ -81,7 +93,7 @@ def e2_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- E3: per-label embedding stats (norms exact-per-element) -----------------
 def e3_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return (
         e.select("label", F.round(_norm(F.col("embedding")), 4).alias("nrm"))
         .groupBy("label")
@@ -562,7 +574,7 @@ def e4_lsh_ann_topk(
     n_tables: int = 4,
     bucket_cap: int = 256,
 ) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return _rank_topk(_ann_candidates(e, n_planes, n_tables, bucket_cap), topk)
 
 
@@ -636,7 +648,7 @@ def e5_ivf_ann_topk(
     topk: int = 3,
     list_cap: int = 256,
 ) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return _rank_topk(_ivf_candidates(e, k_cells, nprobe, list_cap), topk, "cv2")
 
 
@@ -659,7 +671,7 @@ def e6_embedding_neardup(
     bucket_cap: int = 256,
     plant_dups: bool = True,
 ) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
     base = e
     if plant_dups:
         planted = e.filter((F.col("vec_id") % 10) == 0).select(
@@ -767,7 +779,7 @@ def e7_ann_recall(
     topk: int = 3,
     max_queries: int = 512,
 ) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
     ec = clustered_embeddings(e)
     n_vec = e.count()
     mod = max(1, -(-n_vec // max_queries))  # ceil → sample size ≤ max_queries

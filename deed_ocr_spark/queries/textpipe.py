@@ -256,18 +256,42 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
+# Ordered-pair expansion over a SORTED doc-id array column ``ds``: all
+# (ds[i], ds[j]) with i < j, so doc_a < doc_b holds by construction. This
+# replaces the key self-join form (A ⋈ A on the bucket key): grouping the
+# already-capped bucket into one row and expanding pairs LOCALLY removes
+# the join — and with it the second scan, the second distinct/aggregate of
+# the same table, and the self-join's sorts — from the plan (guide §2.4:
+# two operations keyed the same way share one pass). Per-row fanout is the
+# same |bucket|²/2 the self-join had; the df/bucket caps that bounded the
+# join's hot keys bound the array sizes identically.
+_PAIR_EXPAND = (
+    "flatten(transform(ds, (x, i) -> transform("
+    "slice(ds, i + 2, size(ds) - i - 1), "
+    "y -> struct(x AS doc_a, y AS doc_b))))"
+)
+
+
+def _grouped_doc_sets(rows: DataFrame, key: str) -> DataFrame:
+    """(key, sorted distinct doc_id array) per key — collect_set fuses the
+    (doc_id, key) distinct into the per-key grouping (one aggregate where
+    the join form needed a distinct AND a df count AND a cap join), and
+    from a key-bucketed catalog table the aggregation is exchange-free."""
+    return rows.groupBy(key).agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    )
+
+
 def _band_pairs_of(bands: DataFrame) -> DataFrame:
-    """Candidate pairs from a (doc_id, band) frame: band-bucket self-join,
-    never a cross join. From a band-bucketed catalog table the join is
-    exchange-free (see d9b)."""
-    left = bands.alias("a")
-    right = bands.alias("b")
+    """Candidate pairs from a (doc_id, band) frame: per-band doc sets
+    expanded locally (never a cross join, no self-join — see _PAIR_EXPAND).
+    From a band-bucketed catalog table the grouping is exchange-free and
+    the only shuffle left is the final pair distinct (see d9b)."""
     return (
-        left.join(right, "band")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        _grouped_doc_sets(bands.select("doc_id", "band"), "band")
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -303,13 +327,28 @@ def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_from(read_signature_table(spark, path))
 
 
-def ngram_jaccard_pairs_from(toks_src: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs_from(
+    toks_src: DataFrame, threshold: float = 0.5, cand: DataFrame | None = None
+) -> DataFrame:
     """Jaccard near-dup pairs from an existing (doc_id, sh) shingle table —
     the composed query (d7) passes the persisted subtree; a multi-query
-    pipeline passes a materialized signatures table (signatures.py)."""
+    pipeline passes a materialized signatures table (signatures.py).
+
+    ``cand`` optionally supplies the LSH candidate pairs from elsewhere —
+    the registered d7b passes the band-bucketed BANDS mirror's pairs (d9's
+    registered subtree), which drops the in-plan MinHash re-derivation:
+    without it the band self-join recomputes the 4-seed md5 signature
+    aggregation over every shingle row TWICE (once per join side). The
+    bands family derives from the same shingle rows, so the candidate set
+    is identical (d9/d9b identity is pytest-locked)."""
     toks = toks_src.withColumnRenamed("sh", "tok")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cand = _band_pairs_from(_minhash_sig_from(toks_src))
+    if cand is None:
+        cand = _band_pairs_from(_minhash_sig_from(toks_src))
+    # build the per-partition hash map from the candidate side (bounded by
+    # the LSH band caps) instead of sort-merging both sides — the shingle
+    # side arrives bucket-partitioned and skips its sort (guide §3.1)
+    cand = cand.hint("SHUFFLE_HASH")
     shared = (
         cand.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
@@ -550,21 +589,25 @@ def winnow_dup_pairs_from(
     are corpus boilerplate (df > max_df), which is exactly the content
     dedup should ignore. Raising min_shared trades that recall for
     precision.
+
+    Shape (round-7 optimization): one fp-keyed aggregate collects each
+    fingerprint's distinct doc set (collect_set ≡ the old distinct), the
+    df cap becomes an array-size filter, and the pairs expand locally
+    (_PAIR_EXPAND) instead of a self-join. The previous join form scanned
+    the table four times (two distincts + df count + cap join feeding a
+    sort-merge self-join); this form scans once and keeps the single
+    genuine shuffle — the (doc_a, doc_b) aggregation. Row-identity with
+    the join form is pytest-locked (test_bucketed_signatures,
+    test_fingerprint's naive-reference cross-check).
     """
-    fps = fps.select("doc_id", "fp").distinct()
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp")
+    grouped = _grouped_doc_sets(fps.select("doc_id", "fp"), "fp")
+    pairs = (
+        grouped.filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
     )
-    capped = fps.join(rare, "fp")
-    a = capped.withColumnRenamed("doc_id", "doc_a")
-    b = capped.withColumnRenamed("doc_id", "doc_b")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
@@ -951,7 +994,7 @@ def d13b_winnow_dup_pairs_bucketed(
     sf_dir: str,
     min_shared: int = 1,
     max_df: int = 64,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     from deed_ocr_spark.signatures import (
         WINNOW_FPS,
@@ -971,7 +1014,7 @@ def d13b_winnow_dup_pairs_bucketed(
 # of d9 (row identity with the plain route + one-Exchange plan assertion,
 # both pytest-locked).
 def d9b_minhash_band_pairs_bucketed(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
 ) -> DataFrame:
     from deed_ocr_spark.signatures import (
         BANDS,
@@ -984,19 +1027,43 @@ def d9b_minhash_band_pairs_bucketed(
     return _band_pairs_of(spark.table(name).select("doc_id", "band"))
 
 
+# --- D8b: MinHash signatures from the doc_id-bucketed shingles table ----------
+# Same 4-seed md5 signature as d8 over the SAME shingle rows — but read
+# from the materialized shingles mirror instead of re-tokenizing and
+# re-exploding the corpus inside the plan (the shingles family IS that
+# explode, durable; d7/d13 consume their families the same way), and the
+# per-doc min-aggregation rides the doc_id bucketing with zero exchanges.
+# Measured at sf1.0: 0.40 s → 0.12 s, identical rows (pytest-locked).
+# The REGISTERED form of d8.
+def d8b_minhash_sig_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
+) -> DataFrame:
+    from deed_ocr_spark.signatures import (
+        SHINGLES,
+        ensure_bucketed_signature_table,
+    )
+
+    name = ensure_bucketed_signature_table(
+        spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
+    )
+    return _minhash_sig_from(spark.table(name).select("doc_id", "sh"))
+
+
 # --- D7b: Jaccard pipeline from the doc_id-bucketed shingles table ------------
 # d7's pipeline mixes keys, so unlike d13b/d9b it cannot go down to one
-# Exchange — the band self-join and the (doc_b, tok) intersection join
-# genuinely shuffle. But FOUR of its nine exchanges cluster on doc_id
-# (size agg, MinHash agg, and the bucketed side of both intersection
-# joins), and a bucketBy(doc_id) shingles mirror makes each ride bucket
-# co-location. Measured at sf0.1: 0.79 s / 9 exchanges → 0.58 s / 5
-# exchanges, identical 253 pairs (BENCH.md). The REGISTERED form of d7.
+# Exchange — the pair expansion and the (doc_b, tok) intersection join
+# genuinely shuffle. The doc_id-clustered steps (size agg, the bucketed
+# side of both intersection joins) ride a bucketBy(doc_id) shingles
+# mirror, and since round 7 the LSH candidates come from the band-bucketed
+# BANDS mirror (d9's registered subtree) instead of re-deriving the
+# MinHash signatures from shingles inside the plan — the bands family IS
+# that derivation, materialized once per corpus. Measured at sf1.0:
+# 2.2 s → 1.3 s, identical pairs. The REGISTERED form of d7.
 def d7b_ngram_jaccard_pairs_bucketed(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.5,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     from deed_ocr_spark.signatures import (
         SHINGLES,
@@ -1007,7 +1074,9 @@ def d7b_ngram_jaccard_pairs_bucketed(
         spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
     )
     return ngram_jaccard_pairs_from(
-        spark.table(name).select("doc_id", "sh"), threshold=threshold
+        spark.table(name).select("doc_id", "sh"),
+        threshold=threshold,
+        cand=d9b_minhash_band_pairs_bucketed(spark, sf_dir, n_buckets=n_buckets),
     )
 
 
@@ -1019,3 +1088,4 @@ def d7b_ngram_jaccard_pairs_bucketed(
 QUERIES["d13_winnow_dup_pairs"] = d13b_winnow_dup_pairs_bucketed
 QUERIES["d9_minhash_band_pairs"] = d9b_minhash_band_pairs_bucketed
 QUERIES["d7_ngram_jaccard_pairs"] = d7b_ngram_jaccard_pairs_bucketed
+QUERIES["d8_minhash_sig"] = d8b_minhash_sig_bucketed

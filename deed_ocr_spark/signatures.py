@@ -1277,12 +1277,31 @@ def _gc_bucketed_generations(family_dir: str, current: str) -> None:
         shutil.rmtree(os.path.join(family_dir, n), ignore_errors=True)
 
 
+def auto_signature_buckets(version_dir: str) -> int:
+    """Scale-adaptive bucket count for a family mirror, derived from the
+    version's parquet bytes: ceil(bytes / SPARK_GRAFT_BUCKET_MB), clamped
+    to [8, 256]. A fixed count either caps scan/aggregation parallelism on
+    a big family (a bucketed scan runs exactly one task per bucket — 8
+    buckets idled 3/4 of a 32-core box on the sf1.0 fingerprint family) or
+    shreds a tiny one into per-task overhead (the bands family measured
+    SLOWER at 32 than at 8). Size-derived and deterministic: sessions with
+    different core counts resolve the SAME count for the same corpus, so
+    alternating callers never thrash mirror generations (round-6 ADVICE).
+    The 1 MB-per-bucket local default keeps sandbox-tier buckets at the
+    box's parallelism; production sets SPARK_GRAFT_BUCKET_MB to a real
+    file-size target (e.g. 256 — guide §6's 128 MB–1 GB file sizing) and
+    raises the cap alongside its executor count."""
+    target_mb = float(os.environ.get("SPARK_GRAFT_BUCKET_MB", "1"))
+    bytes_total = sum(_parquet_sizes(version_dir))
+    return max(8, min(256, math.ceil(bytes_total / (target_mb * 1024 * 1024))))
+
+
 def ensure_bucketed_signature_table(
     spark: SparkSession,
     sf_dir: str,
     family: str,
     key: str = "fp",
-    n_buckets: int = 8,
+    n_buckets: Optional[int] = None,
 ) -> str:
     """Materialize ``family`` ALSO as a catalog table bucketed on ``key``
     and return the table name.
@@ -1330,7 +1349,12 @@ def ensure_bucketed_signature_table(
             return f"sig_{family}_{scope}_{token}"
 
         try:
-            name = name_for(_bucketed_token(version_dir, key, n_buckets))
+            nb = (
+                n_buckets
+                if n_buckets is not None
+                else auto_signature_buckets(version_dir)
+            )
+            name = name_for(_bucketed_token(version_dir, key, nb))
         except FileNotFoundError:
             continue  # version GC'd between ensure and token — retry
         if spark.catalog.tableExists(name):
@@ -1338,13 +1362,19 @@ def ensure_bucketed_signature_table(
         with _maintenance_lock(family_dir):
             # re-resolve + re-derive under the lock: a rebuild swaps
             # _CURRENT and an append changes the add-dir set — either
-            # way the token must describe the state we will mirror
+            # way the token (and an auto-derived bucket count) must
+            # describe the state we will mirror
             cur = _current_version_dir(family_dir)
             if cur is None:  # pointer torn/vanished — rebuild outside lock
                 continue
             version_dir = cur
             try:
-                token = _bucketed_token(version_dir, key, n_buckets)
+                nb = (
+                    n_buckets
+                    if n_buckets is not None
+                    else auto_signature_buckets(version_dir)
+                )
+                token = _bucketed_token(version_dir, key, nb)
             except FileNotFoundError:  # pragma: no cover — raced GC
                 continue
             name = name_for(token)
@@ -1367,14 +1397,14 @@ def ensure_bucketed_signature_table(
                 spark.sql(
                     f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
                     f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                    f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'"
+                    f"INTO {nb} BUCKETS LOCATION '{data_dir}'"
                 )
             else:
                 if os.path.isdir(data_dir):  # crashed write — no _SUCCESS
                     shutil.rmtree(data_dir, ignore_errors=True)
                 (
                     read_signature_table(spark, version_dir)
-                    .write.bucketBy(n_buckets, key)
+                    .write.bucketBy(nb, key)
                     .sortBy(key)
                     .option("path", data_dir)
                     .saveAsTable(name)

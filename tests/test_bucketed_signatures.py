@@ -65,9 +65,13 @@ def test_bucketed_plan_has_single_exchange(spark, bucketed):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # every fp-clustered step rides the bucketing; the one exchange left
-    # is the final (doc_a, doc_b) pair aggregation
+    # is the final (doc_a, doc_b) pair aggregation. Since round 7 the
+    # pair expansion is LOCAL (per-fp doc-set arrays, no self-join), so
+    # the plan must also be join-free: one table scan, one bucketed
+    # aggregate, the pair explode, the final aggregate.
     assert len(_exchange_ids(plan)) == 1, plan
-    assert "SortMergeJoin" in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 2  # tree + details: ONE scan node
     assert "CartesianProduct" not in plan
 
 
@@ -138,7 +142,8 @@ def test_band_pairs_bucketed_rows_and_plan(spark):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         assert len(_exchange_ids(plan)) == 1, plan
-        assert "SortMergeJoin" in plan
+        # round 7: per-band doc sets expanded locally — join-free plan
+        assert "Join" not in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
@@ -302,6 +307,7 @@ def test_registered_dedup_queries_are_bucketed_forms(spark):
     from deed_ocr_spark.queries import QUERIES
     from deed_ocr_spark.queries.textpipe import (
         d7b_ngram_jaccard_pairs_bucketed,
+        d8b_minhash_sig_bucketed,
         d9b_minhash_band_pairs_bucketed,
         d13b_winnow_dup_pairs_bucketed,
     )
@@ -309,13 +315,40 @@ def test_registered_dedup_queries_are_bucketed_forms(spark):
     assert QUERIES["d13_winnow_dup_pairs"] is d13b_winnow_dup_pairs_bucketed
     assert QUERIES["d9_minhash_band_pairs"] is d9b_minhash_band_pairs_bucketed
     assert QUERIES["d7_ngram_jaccard_pairs"] is d7b_ngram_jaccard_pairs_bucketed
+    assert QUERIES["d8_minhash_sig"] is d8b_minhash_sig_bucketed
     for name in (
         "d13_winnow_dup_pairs",
         "d9_minhash_band_pairs",
         "d7_ngram_jaccard_pairs",
+        "d8_minhash_sig",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "documents.parquet" not in plan, (name, plan)
+
+
+def test_minhash_sig_bucketed_rows_and_plan(spark):
+    """d8b: the 4-seed MinHash signatures from the doc_id-bucketed
+    shingles mirror — identical rows to the plain d8 (which re-tokenizes
+    the corpus), and the doc_id aggregation rides the bucketing: zero
+    exchanges."""
+    from deed_ocr_spark.queries.textpipe import (
+        d8_minhash_sig,
+        d8b_minhash_sig_bucketed,
+    )
+
+    name = sig.ensure_bucketed_signature_table(
+        spark, SF, sig.SHINGLES, key="doc_id", n_buckets=8
+    )
+    try:
+        plain = {tuple(r) for r in d8_minhash_sig(spark, SF).collect()}
+        buck = {
+            tuple(r) for r in d8b_minhash_sig_bucketed(spark, SF).collect()
+        }
+        assert buck == plain and buck
+        plan = _plan(d8b_minhash_sig_bucketed(spark, SF))
+        assert len(_exchange_ids(plan)) == 0, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_jaccard_bucketed_rows_and_plan(spark):

@@ -77,10 +77,15 @@ def test_df_cap_bounds_hot_fingerprint(spark):
     rows = out.collect()
     # only the rare-fp pair survives; zero pairs from the hot key
     assert [(r["doc_a"], r["doc_b"], r["shared_fps"]) for r in rows] == [(1, 2, 1)]
-    # and the cap is structural (the df-count aggregate gates the join
-    # input), not a post-join filter: the plan joins against the rare-fp set
+    # and the cap is structural: since round 7 the pairs expand LOCALLY
+    # from per-fp doc-set arrays (no self-join exists to protect), so the
+    # df cap must be an array-size gate BETWEEN the aggregate and the pair
+    # explode — never a post-expansion filter
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.lower().count("join") >= 2  # rare-fp semi gate + self-join
+    assert "join" not in plan.lower(), plan
+    assert "size(ds" in plan, plan
+    gen_pos = plan.index("Generate")  # the pair explode
+    assert "size(ds" in plan[gen_pos:], plan  # the gate sits below it
 
 
 def test_winnow_recall_long_verbatim_overlap(spark):

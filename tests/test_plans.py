@@ -111,9 +111,12 @@ def test_x4_details_plan_stays_zero_exchange(spark):
 
     plan = _plan(x4_doc_details(spark, SF))
     assert "Exchange" not in plan
-    # corpus synthesis is a MapInPandas generator; the summaries kernel
-    # itself must be the MapInArrow columnar-explode path
-    assert "MapInArrow" in plan
+    # round 7: corpus synthesis and the summaries kernel are FUSED into a
+    # single MapInPandas worker (span payloads never cross the Arrow
+    # boundary twice); equality with the unfused MapInArrow pipeline is
+    # held by tests/test_fused_extraction.py
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "MapInArrow" not in plan
 
 
 def test_documents_scan_prunes_to_used_columns(spark):
