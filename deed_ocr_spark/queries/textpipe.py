@@ -340,27 +340,49 @@ def ngram_jaccard_pairs_from(
     without it the band self-join recomputes the 4-seed md5 signature
     aggregation over every shingle row TWICE (once per join side). The
     bands family derives from the same shingle rows, so the candidate set
-    is identical (d9/d9b identity is pytest-locked)."""
-    toks = toks_src.withColumnRenamed("sh", "tok")
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    is identical (d9/d9b identity is pytest-locked).
+
+    Intersection shape (round-7 optimization): the old form joined the
+    full shingle relation twice per pair — cand ⋈ toks(doc_a) ⋈
+    toks(doc_b, tok) — whose second join re-shuffled every shingle row on
+    (doc_b, tok), plus TWO more full-table aggregations for the sizes.
+    Candidate pairs are a vanishing fraction of the corpus (that is the
+    point of LSH), so instead: semi-reduce the shingle table to candidate
+    docs (broadcast of the candidate-doc set — the d15 contamination-scan
+    shape), collect each candidate doc's shingle set ONCE, and compute
+    |A∩B| with a local array_intersect per pair. Shingle rows are distinct
+    per doc (array_distinct upstream), so size(set)=sz and the rounded
+    jaccard is arithmetic-identical. One pass over the table instead of
+    four; measured 1.8 s → 0.9 s at sf1.0, identical pairs."""
     if cand is None:
         cand = _band_pairs_from(_minhash_sig_from(toks_src))
-    # build the per-partition hash map from the candidate side (bounded by
-    # the LSH band caps) instead of sort-merging both sides — the shingle
-    # side arrives bucket-partitioned and skips its sort (guide §3.1)
-    cand = cand.hint("SHUFFLE_HASH")
-    shared = (
-        cand.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            toks.withColumnRenamed("doc_id", "doc_b"),
-            ["doc_b", "tok"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        toks_src.select("doc_id", "sh")
+        .join(F.broadcast(cand_docs), "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("shs"))
     )
     out = (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
