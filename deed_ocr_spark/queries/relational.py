@@ -314,7 +314,9 @@ def j3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, segment filter,
     top revenue orders. Decimal-exact revenue for oracle parity."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders")
+    # orders is the smaller fact side — shuffled-hash instead of the
+    # default sort-merge skips both sides' sorts (the j1 rationale)
+    o = t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
     l = t(spark, sf_dir, "lineitem")
     rev = (
         F.col("l_extendedprice").cast("decimal(18,2)")

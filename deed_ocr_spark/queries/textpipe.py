@@ -296,6 +296,21 @@ def _band_pairs_of(bands: DataFrame) -> DataFrame:
     )
 
 
+def _band_cand_docs(bands: DataFrame) -> DataFrame:
+    """Distinct doc ids appearing in ANY candidate pair — i.e. docs that
+    share a band bucket with at least one other doc. Equal by definition
+    to union(doc_a, doc_b) over _band_pairs_of, but derived WITHOUT the
+    pair expansion and its distinct: deriving it from the pair frame would
+    re-evaluate the whole band subtree twice more (Spark does not dedup
+    common subtrees across plan branches)."""
+    return (
+        _grouped_doc_sets(bands.select("doc_id", "band"), "band")
+        .filter(F.size("ds") >= 2)
+        .select(F.explode("ds").alias("doc_id"))
+        .distinct()
+    )
+
+
 def _band_pairs_from(sig: DataFrame) -> DataFrame:
     # one signature pass → explode to (doc_id, band) → band self-join
     return _band_pairs_of(_band_rows(sig))
@@ -328,7 +343,10 @@ def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs_from(
-    toks_src: DataFrame, threshold: float = 0.5, cand: DataFrame | None = None
+    toks_src: DataFrame,
+    threshold: float = 0.5,
+    cand: DataFrame | None = None,
+    cand_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard near-dup pairs from an existing (doc_id, sh) shingle table —
     the composed query (d7) passes the persisted subtree; a multi-query
@@ -356,11 +374,16 @@ def ngram_jaccard_pairs_from(
     four; measured 1.8 s → 0.9 s at sf1.0, identical pairs."""
     if cand is None:
         cand = _band_pairs_from(_minhash_sig_from(toks_src))
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    if cand_docs is None:
+        # ``cand_docs`` may be supplied independently (d7b derives it from
+        # the bands mirror via _band_cand_docs — one band-subtree pass);
+        # deriving it from ``cand`` here re-evaluates the candidate
+        # subtree for each union side
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
     sets = (
         toks_src.select("doc_id", "sh")
         .join(F.broadcast(cand_docs), "doc_id", "semi")
@@ -963,8 +986,12 @@ def d14_training_keeplist(
     lang = d3_lang_id(spark, sf_dir).select("doc_id", "guess_en")
     qual = d4_quality_score(spark, sf_dir).select("doc_id", "mean_token_len")
     keepers = d1_dedup_exact(spark, sf_dir).select(F.col("keeper").alias("doc_id"))
+    # the near-dup anti-join side comes from the band-bucketed mirror
+    # (round 7): identical pairs to the plain d9 (pytest-locked), but the
+    # composed plan no longer re-tokenizes and re-MinHashes the corpus a
+    # second time just to name the docs to drop
     dup_b = (
-        d9_minhash_band_pairs(spark, sf_dir)
+        d9b_minhash_band_pairs_bucketed(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -1092,13 +1119,20 @@ def d7b_ngram_jaccard_pairs_bucketed(
         ensure_bucketed_signature_table,
     )
 
+    from deed_ocr_spark.signatures import BANDS
+
     name = ensure_bucketed_signature_table(
         spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
     )
+    bands_t = ensure_bucketed_signature_table(
+        spark, sf_dir, BANDS, key="band", n_buckets=n_buckets
+    )
+    bands = spark.table(bands_t).select("doc_id", "band")
     return ngram_jaccard_pairs_from(
         spark.table(name).select("doc_id", "sh"),
         threshold=threshold,
-        cand=d9b_minhash_band_pairs_bucketed(spark, sf_dir, n_buckets=n_buckets),
+        cand=_band_pairs_of(bands),
+        cand_docs=_band_cand_docs(bands),
     )
 
 

@@ -231,8 +231,13 @@ def main(argv=None):
 
     # 2. bucketed mirror + dup pairs (the maintenance query itself)
     t0 = time.monotonic()
+    # shared size-derived default (auto_signature_buckets): passing an
+    # explicit cpus-derived count here made this mirror's generation
+    # differ from the one the delta's mirror route resolves, so the two
+    # callers alternately DROPPED and rebuilt each other's full-corpus
+    # mirror (round-6 ADVICE #4)
     name = ensure_bucketed_signature_table(
-        spark, base_dir, WINNOW_FPS, key="fp", n_buckets=cpus
+        spark, base_dir, WINNOW_FPS, key="fp"
     )
     out["bucketed_mirror_sec"] = round(time.monotonic() - t0, 2)
     t0 = time.monotonic()

@@ -307,3 +307,25 @@ def test_dup_components_incremental_single_delta_and_race_refusal(
     )
     with pytest.raises(ValueError, match="wider window"):
         dup_components_incremental(spark, sf, labels2, snap2)
+
+
+def test_release_checkpoint_frees_pinned_blocks(spark):
+    """_release_checkpoint must actually drop a superseded
+    localCheckpoint's RDD from the context's persistent set (round-6
+    ADVICE): it reaches through private JVM accessors and silently no-ops
+    on any exception, so a Spark-internal rename would otherwise
+    reintroduce the observed 10^8-edge UNABLE_TO_ACQUIRE_MEMORY block
+    accumulation with no test failing."""
+    from deed_ocr_spark.queries.components import _release_checkpoint
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    df = spark.range(0, 1000).localCheckpoint(eager=True)
+    assert n_persistent() == base + 1, "localCheckpoint must pin blocks"
+    _release_checkpoint(df)
+    assert n_persistent() == base, (
+        "release was a no-op — the internal accessor path "
+        "(queryExecution().analyzed().rdd()) has drifted"
+    )
