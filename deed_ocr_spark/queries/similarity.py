@@ -50,11 +50,15 @@ def _norm(a):
 # --- E1: brute-force cosine top-k against a query vector --------------------
 def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
+    # the query vector's norm is a constant: computing it INSIDE the
+    # 1-row broadcast subtree (same expression, same data → the same
+    # IEEE double) drops one of the three per-row array aggregations
     q = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     cos = _dot(F.col("embedding"), F.col("qv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qv"))
+        _norm(F.col("embedding")) * F.col("qn")
     )
     return (
         e.filter(F.col("vec_id") != 0)
