@@ -533,18 +533,30 @@ def _ann_candidates(
         .filter(F.col("rk") <= bucket_cap)
         .drop("rk")
     )
+    # per-vector norms computed ONCE here (same expression, same data →
+    # the same IEEE double as a per-pair recomputation): every candidate
+    # pair downstream otherwise re-aggregates both
+    # norms — one redundant array pass per pair per consumer
     cand = capped.join(e, "vec_id").select(
-        "tbl", "bucket", F.col("vec_id").alias("cand"), F.col("embedding").alias("cv")
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     probe_src = b if probe_mod <= 1 else b.filter((F.col("vec_id") % probe_mod) == 0)
     probes = probe_src.join(e, "vec_id").select(
-        "tbl", "bucket", F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     return (
         probes.join(cand, ["tbl", "bucket"])
         .filter(F.col("qid") != F.col("cand"))
         .dropDuplicates(["qid", "cand"])
-        .select("qid", "qv", "cand", "cv")
+        .select("qid", "qv", "qn", "cand", "cv", "cn")
     )
 
 
@@ -555,12 +567,12 @@ def _rank_topk(pairs: DataFrame, topk: int, cv_col: str = "cv") -> DataFrame:
     the ordering identical across engines even if the last mantissa bit of
     the raw division ever differed — same discipline as e1's output.
     Shared by e4/e5 and the e7 gauge so the gauge ranks EXACTLY the frame
-    it counts (candidates are built once, not rebuilt per consumer)."""
+    it counts (candidates are built once, not rebuilt per consumer).
+    Norms ride the candidate frame's precomputed qn/cn columns (identical
+    doubles — see _ann_candidates)."""
     from pyspark.sql.window import Window
 
-    cos = _dot(F.col("qv"), F.col(cv_col)) / (
-        _norm(F.col("qv")) * _norm(F.col(cv_col))
-    )
+    cos = _dot(F.col("qv"), F.col(cv_col)) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand").asc())
     return (
         pairs.select("qid", "cand", F.round(cos, 4).alias("cos_sim"))
@@ -602,20 +614,34 @@ def _ivf_candidates(
 
     cents = (
         e.filter(F.col("vec_id") < k_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("ncv"),
+        )
     )
-    # assignment: nearest centroid by cosine (map-side over broadcast cells)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        (_dot(F.col("embedding"), F.col("cv")) / (_norm(F.col("embedding")) * _norm(F.col("cv")))).alias("sim"),
+    # assignment: nearest centroid by cosine (map-side over broadcast
+    # cells). Each vector's norm is computed ONCE (nv) instead of once per
+    # centroid, and each centroid's once in the broadcast subtree (ncv) —
+    # identical doubles, k_cells-fold less per-row aggregation.
+    scored = (
+        e.withColumn("nv", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "nv",
+            "cell",
+            (_dot(F.col("embedding"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("sim"),
+        )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
     assigned = (
         scored.withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") <= nprobe)
-        .select("vec_id", "cell", "embedding", (F.col("rk") == 1).alias("is_home"))
+        .select(
+            "vec_id", "cell", "embedding", "nv", (F.col("rk") == 1).alias("is_home")
+        )
     )
     # inverted lists = home assignments; queries probe nprobe cells.
     # list_cap bounds each inverted list (the e4 bucket_cap, IVF edition):
@@ -627,7 +653,10 @@ def _ivf_candidates(
         .withColumn("crk", F.row_number().over(w_cap))
         .filter(F.col("crk") <= list_cap)
         .select(
-            F.col("cell"), F.col("vec_id").alias("cand"), F.col("embedding").alias("cv2")
+            F.col("cell"),
+            F.col("vec_id").alias("cand"),
+            F.col("embedding").alias("cv2"),
+            F.col("nv").alias("cn"),
         )
     )
     probe_src = (
@@ -635,12 +664,17 @@ def _ivf_candidates(
         if probe_mod <= 1
         else assigned.filter((F.col("vec_id") % probe_mod) == 0)
     )
-    probes = probe_src.select(F.col("cell"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    probes = probe_src.select(
+        F.col("cell"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
     return (
         probes.join(lists, "cell")
         .filter(F.col("qid") != F.col("cand"))
         .dropDuplicates(["qid", "cand"])
-        .select("qid", "qv", "cand", "cv2")
+        .select("qid", "qv", "qn", "cand", "cv2", "cn")
     )
 
 
@@ -689,7 +723,7 @@ def e6_embedding_neardup(
     pairs = _ann_candidates(base, n_planes, n_tables, bucket_cap).filter(
         F.col("qid") < F.col("cand")
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     return (
         pairs.select(
             F.col("qid").alias("vec_a"), F.col("cand").alias("vec_b"), cos.alias("cos")
@@ -721,11 +755,19 @@ def _brute_force_topk(e: DataFrame, topk: int, sample_mod: int = 1) -> DataFrame
     from pyspark.sql.window import Window
 
     q = e.filter((F.col("vec_id") % sample_mod) == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
+    )
     gt_pairs = q.crossJoin(c).filter(F.col("qid") != F.col("cand"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    # norms precomputed per side instead of per pair — identical doubles,
+    # sample+n aggregations instead of sample×n
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand").asc())
     return (
         gt_pairs.select("qid", "cand", cos.alias("cos"))
