@@ -227,6 +227,10 @@ def j1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table per partition and skips BOTH sides' sorts that the default
     # sort-merge pays; the range predicate stays a residual on the
     # l_orderkey equi-join either way (plan-locked in tests/test_plans.py).
+    # The build side cannot spill, but o_orderkey is UNIQUE on orders, so
+    # no hot key can concentrate build rows: per-partition build size is
+    # |orders|/shuffle.partitions, which production bounds by sizing the
+    # shuffle width (the same knob that sizes every other partition).
     o = t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
     return (
         l.join(o, (l["l_orderkey"] == o["o_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]))

@@ -23,9 +23,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table, hash-repartitioned when its file count is
     below the cluster parallelism (common.rebalanced): the sandbox table
     is ONE parquet file with ONE row group, so every per-vector dot/norm
-    pipeline otherwise runs single-task. The tiny broadcast subtrees
-    (query vector, hyperplanes, centroids) keep reading the raw scan —
-    they don't need the exchange."""
+    pipeline otherwise runs single-task. e1/e2's tiny broadcast subtrees
+    (query vector, hyperplanes) read the raw scan; e4–e7 derive planes/
+    centroids from the rebalanced frame itself — each broadcast subtree
+    then carries one exchange over a handful of rows, accepted so the
+    candidate builders keep a single input frame (the e7 clustered
+    fixture has no raw-scan twin to derive planes from)."""
     return rebalanced(t(spark, sf_dir, "embeddings"), "vec_id")
 
 

@@ -31,15 +31,11 @@ def _docs_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     A small input (few splits) would otherwise funnel the entire
     shingle/md5 explode into one task (measured: 17s single-task vs ~1s
     spread). At 100 TB the scan has thousands of splits and this exchange
-    is skipped — controlled by a row-count-free heuristic: only repartition
-    when the scan's file count is below the cluster's parallelism. File
-    count (driver-side catalog metadata) stands in for split count without
-    forcing the DataFrame→RDD conversion plan a ``.rdd`` probe would build."""
-    d = t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < par:
-        d = d.repartition(par, "doc_id")
-    return d
+    is skipped — see ``common.rebalanced`` (one shared heuristic since
+    round 7; this wrapper just fixes the table and key)."""
+    from deed_ocr_spark.queries.common import rebalanced
+
+    return rebalanced(t(spark, sf_dir, "documents"), "doc_id")
 
 
 # NOTE: no registered query leans on session-cache persistence anymore.
@@ -286,12 +282,28 @@ def _band_pairs_of(bands: DataFrame) -> DataFrame:
     """Candidate pairs from a (doc_id, band) frame: per-band doc sets
     expanded locally (never a cross join, no self-join — see _PAIR_EXPAND).
     From a band-bucketed catalog table the grouping is exchange-free and
-    the only shuffle left is the final pair distinct (see d9b)."""
+    the only shuffle left is the final pair distinct (see d9b).
+
+    Unlike the winnow path, the band family has NO df cap (the oracle
+    emits every band collision), so a hot band holds an unbounded doc
+    set and the one-shot _PAIR_EXPAND would materialize |bucket|²/2
+    structs in a SINGLE array — a hard task failure (2³¹ array-element
+    limit / OOM) where the old streamed self-join merely ran long. The
+    expansion is therefore TWO-STEP: posexplode the doc set first (one
+    row per doc, carrying the set), then pair each doc with its strict
+    successors — per-row output is ≤ |bucket| structs, the quadratic
+    total is spread across spillable rows, and the emitted pairs are
+    identical (doc_a < doc_b from the same sorted array)."""
+    grouped = _grouped_doc_sets(bands.select("doc_id", "band"), "band")
     return (
-        _grouped_doc_sets(bands.select("doc_id", "band"), "band")
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        grouped.filter(F.size("ds") >= 2)
+        .select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(
+                F.expr("slice(ds, i + 2, size(ds) - i - 1)")
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -364,14 +376,22 @@ def ngram_jaccard_pairs_from(
     full shingle relation twice per pair — cand ⋈ toks(doc_a) ⋈
     toks(doc_b, tok) — whose second join re-shuffled every shingle row on
     (doc_b, tok), plus TWO more full-table aggregations for the sizes.
-    Candidate pairs are a vanishing fraction of the corpus (that is the
-    point of LSH), so instead: semi-reduce the shingle table to candidate
-    docs (broadcast of the candidate-doc set — the d15 contamination-scan
+    Candidate pairs are a small fraction of the corpus when LSH is doing
+    its job, so instead: semi-reduce the shingle table to candidate docs
+    (broadcast of the candidate-doc set — the d15 contamination-scan
     shape), collect each candidate doc's shingle set ONCE, and compute
     |A∩B| with a local array_intersect per pair. Shingle rows are distinct
     per doc (array_distinct upstream), so size(set)=sz and the rounded
     jaccard is arithmetic-identical. One pass over the table instead of
-    four; measured 1.8 s → 0.9 s at sf1.0, identical pairs."""
+    four; measured 1.8 s → 0.9 s at sf1.0, identical pairs.
+
+    Regime contract: the candidate-DOC id set must fit the broadcast
+    budget (ids only — far smaller than d15's broadcast shingle SET). In
+    a corpus so duplicate-dense that candidates approach the corpus
+    itself, drop the broadcast hint and let the semi-join shuffle — at
+    that density the old full-relation join shape is the economics
+    anyway; a size-aware route switch is recorded as future work in
+    OPTIMIZATION_r07.md."""
     if cand is None:
         cand = _band_pairs_from(_minhash_sig_from(toks_src))
     if cand_docs is None:
@@ -1121,12 +1141,32 @@ def d7b_ngram_jaccard_pairs_bucketed(
 
     from deed_ocr_spark.signatures import BANDS
 
-    name = ensure_bucketed_signature_table(
-        spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
-    )
-    bands_t = ensure_bucketed_signature_table(
-        spark, sf_dir, BANDS, key="band", n_buckets=n_buckets
-    )
+    # d7b reads TWO independently-versioned mirrors (shingles for the
+    # intersection, bands for the candidates). A corpus append landing
+    # between the two ensure calls would hand back mirrors of different
+    # corpus snapshots — candidate docs with no shingle rows silently
+    # drop pairs instead of raising. Re-resolving the first mirror after
+    # the second pins a consistent snapshot: the name is state-keyed
+    # (version + add dirs), so any interleaved append changes it.
+    for _ in range(4):
+        name = ensure_bucketed_signature_table(
+            spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
+        )
+        bands_t = ensure_bucketed_signature_table(
+            spark, sf_dir, BANDS, key="band", n_buckets=n_buckets
+        )
+        if (
+            ensure_bucketed_signature_table(
+                spark, sf_dir, SHINGLES, key="doc_id", n_buckets=n_buckets
+            )
+            == name
+        ):
+            break
+    else:  # pragma: no cover — requires 4 interleaved appends
+        raise RuntimeError(
+            "could not pin a consistent shingles/bands mirror pair "
+            "(concurrent append storm) — retry or run the plain d7"
+        )
     bands = spark.table(bands_t).select("doc_id", "band")
     return ngram_jaccard_pairs_from(
         spark.table(name).select("doc_id", "sh"),

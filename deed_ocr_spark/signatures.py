@@ -1290,8 +1290,21 @@ def auto_signature_buckets(version_dir: str) -> int:
     The 1 MB-per-bucket local default keeps sandbox-tier buckets at the
     box's parallelism; production sets SPARK_GRAFT_BUCKET_MB to a real
     file-size target (e.g. 256 — guide §6's 128 MB–1 GB file sizing) and
-    raises the cap alongside its executor count."""
-    target_mb = float(os.environ.get("SPARK_GRAFT_BUCKET_MB", "1"))
+    raises the cap alongside its executor count.
+
+    Every session of one deployment must share the same
+    SPARK_GRAFT_BUCKET_MB (it is part of the mirror's layout identity,
+    like the bucketing key): two callers with different values would
+    resolve different generations and alternately rebuild each other's
+    mirror — the same thrash a hard-coded divergent count caused.
+    Malformed or non-positive values fall back to the default rather
+    than failing every mirror resolution."""
+    try:
+        target_mb = float(os.environ.get("SPARK_GRAFT_BUCKET_MB", "1"))
+    except ValueError:
+        target_mb = 1.0
+    if not target_mb > 0:
+        target_mb = 1.0
     bytes_total = sum(_parquet_sizes(version_dir))
     return max(8, min(256, math.ceil(bytes_total / (target_mb * 1024 * 1024))))
 

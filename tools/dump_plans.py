@@ -12,6 +12,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
     suffix = sys.argv[1]
     names = sys.argv[2:]
     from deed_ocr_spark.queries import QUERIES as _REG
