@@ -49,6 +49,18 @@ MAX_ROUNDS = 64
 EDGES_PER_PARTITION = 2_000_000
 MAX_ROUND_PARTITIONS = 4096
 
+# Adaptive materialization stride (round 7): below this live edge count a
+# star round's cost is dominated by fixed per-action overheads (job
+# launch, digest aggregation, checkpoint bookkeeping), so two rounds per
+# localCheckpoint halve the action count; at or above it each round's two
+# node-keyed shuffles of the edge multiset dominate, so per-round
+# materialization + per-round fixpoint detection win (no expensive
+# overshoot rounds, shallower plans). 10M ~= 5 EDGES_PER_PARTITION-sized
+# shuffle partitions — the point where a round stops being latency-priced
+# on the reference 32-core box; measured crossover evidence in BENCH.md
+# ("Materialization stride").
+ADAPTIVE_STRIDE_EDGES = 10_000_000
+
 
 def _round_partitions(spark: SparkSession, n_edges: int) -> int:
     par = spark.sparkContext.defaultParallelism
@@ -130,26 +142,56 @@ def _digest(e: DataFrame):
 
 def connected_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
-    stats: dict | None = None
+    stats: dict | None = None, stride_rounds: int | None = None
 ) -> DataFrame:
     """(doc_id, component) for every node appearing in ``pairs``; the
     component label is the smallest doc_id in the component.
 
-    Iterates large-star / small-star to a fixpoint, TWO rounds per
-    materialization: ``localCheckpoint`` truncates lineage (iterative
-    DataFrame algorithms otherwise stack O(rounds) of lineage and the
-    planner re-derives the whole chain every action; on a cluster with a
-    configured checkpoint dir, ``checkpoint`` is the fault-tolerant
-    drop-in — GraphFrames does the same every few rounds), and the
-    2-round stride halves the action count for deep graphs (round-5
-    VERDICT #4). Fixpoint detection across a stride is sound because the
-    alternation's potential function strictly decreases until the star
-    forest is reached (Kiveris et al. Thm 2) — an unchanged digest over
-    two rounds cannot be a 2-cycle. Shuffle width is re-derived from the
-    CURRENT edge count each stride (_round_partitions).
+    Iterates large-star / small-star to a fixpoint, materializing with
+    ``localCheckpoint`` every stride (lineage otherwise stacks O(rounds)
+    deep and the planner re-derives the whole chain every action; on a
+    cluster with a configured checkpoint dir, ``checkpoint`` is the
+    fault-tolerant drop-in — GraphFrames does the same every few
+    rounds). The stride length is regime-dependent and by default
+    ADAPTIVE per stride on the live edge count (round 7, measured —
+    BENCH.md "Materialization stride"):
+
+    * SMALL graphs (< ADAPTIVE_STRIDE_EDGES): 2 rounds per stride —
+      fixed per-action costs (job launch, digest aggregation, checkpoint
+      bookkeeping) dominate, so halving the action count wins
+      (round-5 VERDICT #4). This is the pre-round-7 behavior, byte-for-
+      byte, at every driver-measured tier.
+    * LARGE graphs: 1 round per stride — each round shuffles the
+      still-huge edge multiset twice, so the 2-round stride's coarser
+      fixpoint detection overshoots by up to 2 EXPENSIVE rounds, and
+      its deeper unmaterialized plan (each star round references its
+      input ~4×) costs real planning/recompute. Measured at 2×10⁷
+      chain edges (same-window interleaved pairs): stride 1
+      {208, 135 s, 10 rounds} vs stride 2 {216, 216 s, 12 rounds}.
+
+    Strides LONGER than 2 are refused: with ~4× input fan-out per round
+    and no common-subtree sharing in Catalyst, a k-round unmaterialized
+    stride plans ~4^k subtree copies — a 64-edge toy converges in 21 s
+    at stride 2 and did not finish in 8.5 min at stride 3 (BENCH.md),
+    settling r6 NEXT #6 (checkpoint-every-4-rounds) structurally: the
+    I/O saved per materialization can never outrun quartic planning
+    growth. Fixpoint detection across a stride of 1 or 2 is sound
+    because the alternation's potential function strictly decreases
+    until the star forest is reached (Kiveris et al. Thm 2) — an
+    unchanged digest over k rounds cannot be a k-cycle.
+
+    ``stride_rounds``: None (default) = adaptive as above; 1 or 2 pins
+    the stride for the whole run (the scale smokes' A/B knob).
 
     Pass a dict as ``stats`` to receive {"rounds": int} for convergence
     telemetry (the scale smoke records it)."""
+    if stride_rounds not in (None, 1, 2):
+        raise ValueError(
+            "stride_rounds must be None (adaptive), 1 or 2: the star "
+            "rounds fan out their input ~4x each, so a k-round "
+            "unmaterialized stride plans ~4^k subtree copies (see "
+            "docstring / BENCH.md round 7)"
+        )
     e0 = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
     # nodes derive from the CHECKPOINTED frame — lineage through `pairs`
     # would re-execute the whole upstream pair query (d13's corpus
@@ -174,11 +216,14 @@ def connected_components(
                 "spark.sql.shuffle.partitions",
                 str(_round_partitions(spark, prev[0])),
             )
-            one = _small_star(_symmetrize(_large_star(_symmetrize(e))))
-            e_next = _small_star(
-                _symmetrize(_large_star(_symmetrize(one)))
-            ).localCheckpoint(eager=True)
-            rounds += 2
+            stride = stride_rounds or (
+                1 if prev[0] >= ADAPTIVE_STRIDE_EDGES else 2
+            )
+            nxt = e
+            for _ in range(stride):
+                nxt = _small_star(_symmetrize(_large_star(_symmetrize(nxt))))
+            e_next = nxt.localCheckpoint(eager=True)
+            rounds += stride
             cur = _digest(e_next)
             # e_next is materialized and never references e, so the
             # superseded stride's pinned blocks are safe to drop

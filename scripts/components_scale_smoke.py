@@ -33,6 +33,13 @@ def main(argv=None):
     p.add_argument("--nodes", type=int, default=20_000_000)
     p.add_argument("--chain", type=int, default=512)
     p.add_argument("--cpus", type=int, default=0)
+    p.add_argument("--driver-mem", default="24g",
+                   help="JVM heap; the 10^8-edge tier wants 48g on a "
+                        "128 GiB box (see BENCH.md round-7 note)")
+    p.add_argument("--stride-rounds", type=int, default=0,
+                   help="star rounds per localCheckpoint materialization: "
+                        "0 = the operator's edge-count-adaptive default, "
+                        "1/2 pin the stride (the r6 NEXT #6 A/B knob)")
     args = p.parse_args(argv)
     if args.chain < 2:
         p.error("--chain must be >= 2 (length-1 chains have no edges)")
@@ -48,7 +55,7 @@ def main(argv=None):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("components-scale-smoke")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", args.driver_mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,7 +69,9 @@ def main(argv=None):
 
     stats: dict = {}
     t0 = time.monotonic()
-    comp = connected_components(edges, stats=stats)
+    comp = connected_components(
+        edges, stats=stats, stride_rounds=args.stride_rounds or None
+    )
     agg = comp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("component").alias("n_clusters"),
@@ -81,6 +90,7 @@ def main(argv=None):
         "chain_len": L,
         "edges": (n - 1) - len(range(L - 1, n - 1, L)),
         "cpus": cpus,
+        "stride_rounds": args.stride_rounds,
         "rounds": stats["rounds"],
         "wall_sec": wall,
         "clusters": int(agg["n_clusters"]),

@@ -329,3 +329,60 @@ def test_release_checkpoint_frees_pinned_blocks(spark):
         "release was a no-op — the internal accessor path "
         "(queryExecution().analyzed().rdd()) has drifted"
     )
+
+
+@pytest.mark.parametrize("stride", [1])
+def test_components_stride_rounds_identical_labels(spark, stride):
+    """Any materialization stride yields the same fixpoint labels (the
+    r6 NEXT #6 I/O trade only changes WHEN lineage is truncated):
+    adversarial chain + star + random edges, compared to the default."""
+    rng = random.Random(1234)
+    edges = (
+        [(i, i + 1) for i in range(64)]              # depth
+        + [(100, 100 + i) for i in range(1, 20)]     # star
+        + [
+            (rng.randrange(200, 260), rng.randrange(200, 260))
+            for _ in range(80)
+        ]
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    base = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, stride_rounds=stride).collect()
+    }
+    assert got == base == _union_find(edges)
+
+
+def test_components_stride_rounds_validation(spark):
+    """Strides > 2 are refused up front: the star rounds fan out their
+    input ~4x each, so an unmaterialized k-round stride plans ~4^k
+    subtree copies — a 64-edge toy graph hung at stride 3 (BENCH.md)."""
+    df = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    for bad in (0, 3, 4):
+        with pytest.raises(ValueError, match="stride_rounds"):
+            connected_components(df, stride_rounds=bad)
+
+
+def test_components_adaptive_stride_crossing(spark, monkeypatch):
+    """The adaptive stride switches MID-LOOP as the edge multiset
+    shrinks (a clique collapses 190 -> 19 edges): labels must equal the
+    union-find oracle across the regime boundary."""
+    import deed_ocr_spark.queries.components as C
+
+    monkeypatch.setattr(C, "ADAPTIVE_STRIDE_EDGES", 50)
+    clique = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+    chain = [(100 + i, 101 + i) for i in range(30)]
+    edges = clique + chain
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    stats = {}
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert got == _union_find(edges)
+    assert stats["rounds"] >= 2
